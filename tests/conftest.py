@@ -1,0 +1,20 @@
+"""Test configuration: CPU backend with 8 virtual devices, float64.
+
+Gradient-parity and correctness tests run on CPU in f64 (the TPU
+production path is f32 + iterative refinement; the bench exercises that
+separately on real hardware).
+"""
+
+import os
+
+# Must happen before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

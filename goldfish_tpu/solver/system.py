@@ -1,0 +1,289 @@
+"""The non-matching multi-patch shell system: energy, residual, stiffness.
+
+This is the TPU-native analogue of the reference's `NonMatchingOpt`
+core (reference: GOLDFISH/nonmatching_opt.py:12-127 state bookkeeping,
+:726-1015 residual/Jacobian assembly): one object owning the stacked
+patch data, interface data, boundary conditions and loads, exposing
+
+    total_potential(d, cp, h)     -> scalar Pi
+    residual(d, cp, h)            -> (P, C, 3)   [= dPi/dd, BC-masked]
+    assemble_K(d, cp, h)          -> (N, N) dense tangent (small problems)
+    matvec / block-Jacobi ops     -> matrix-free path (large problems)
+
+There are no FE/IGA extraction matrices: IGA DoFs are THE DoFs
+(SURVEY.md section 2.4 tIGAr row), and all derivative matrices are JAX
+AD of the single scalar potential.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from goldfish_tpu.geometry.nurbs import NURBS
+from goldfish_tpu.geometry.patch_stack import (
+    PatchStack,
+    build_patch_stack,
+    side_dofs,
+    stack_control_points,
+)
+from goldfish_tpu.physics import kl_shell
+from goldfish_tpu.physics.coupling import (
+    InterfaceSpec,
+    InterfaceStack,
+    build_interfaces,
+    interface_hessians,
+    penalty_energy,
+)
+from goldfish_tpu.physics.loads import PointLoads, build_point_loads, external_work
+
+__all__ = ["SystemData", "NonMatchingSystem", "total_potential", "residual",
+           "assemble_K", "element_global_dofs"]
+
+
+class SystemData(NamedTuple):
+    """Device-side problem data (a pytree; jit-friendly)."""
+
+    stack: PatchStack
+    ifs: InterfaceStack | None
+    free: jnp.ndarray        # (P, C, 3) 1.0 = free dof
+    E: jnp.ndarray           # (P,)
+    nu: jnp.ndarray          # (P,)
+    f_areal: jnp.ndarray | None    # (P, 3) dead load or None
+    point_loads: PointLoads | None
+    pressure: jnp.ndarray | None   # (P,) follower pressure or None
+
+
+def total_potential(data: SystemData, d, cp, h):
+    """Pi = W_int + W_penalty - W_ext (all loads conservative)."""
+    W = kl_shell.internal_energy(data.stack, d, cp, h, data.E, data.nu)
+    W = W + penalty_energy(data.ifs, d, cp, h, data.E)
+    W = W - external_work(data.stack, d, cp, data.f_areal,
+                          data.point_loads, data.pressure)
+    return W
+
+
+def residual(data: SystemData, d, cp, h):
+    """R = dPi/dd with fixed/padding dofs masked to zero."""
+    r = jax.grad(total_potential, argnums=1)(data, d, cp, h)
+    return r * data.free
+
+
+def element_global_dofs(stack: PatchStack):
+    """Global dof index of each element-local dof: (P, E, 3L)."""
+    P, E, L = stack.conn.shape
+    C = stack.max_cp
+    p_ids = jnp.arange(P, dtype=jnp.int32)[:, None, None]
+    base = (p_ids * C + stack.conn) * 3  # (P, E, L)
+    gi = base[..., None] + jnp.arange(3, dtype=jnp.int32)
+    return gi.reshape(P, E, 3 * L)
+
+
+def _interface_global_dofs(ifs: InterfaceStack, C: int):
+    """Global dofs of each interface qp's stacked [A; B] locals:
+    (I, N, 6L)."""
+    L = ifs.connA.shape[-1]
+
+    def side(conn, pair):
+        base = (pair[:, None, None] * C + conn) * 3
+        gi = base[..., None] + jnp.arange(3, dtype=jnp.int32)
+        return gi.reshape(conn.shape[0], conn.shape[1], 3 * L)
+
+    return jnp.concatenate(
+        [side(ifs.connA, ifs.pairA), side(ifs.connB, ifs.pairB)], axis=-1
+    )
+
+
+def assemble_K(data: SystemData, d, cp, h):
+    """Dense BC-reduced tangent stiffness (N, N), N = P*C*3.
+
+    Built by scattering exact per-element and per-interface-qp Hessian
+    blocks - the TPU replacement for PETSc MatSetValues assembly + the
+    M^T K M extraction of the reference (GOLDFISH/nonmatching_opt.py:
+    639-724).
+    """
+    stack = data.stack
+    P, C = stack.n_patches, stack.max_cp
+    N = P * C * 3
+    Ke = kl_shell.element_hessians(stack, d, cp, h, data.E, data.nu)
+    gi = element_global_dofs(stack)  # (P, E, 3L)
+    K = jnp.zeros((N, N), dtype=Ke.dtype)
+    K = K.at[gi[..., :, None], gi[..., None, :]].add(Ke)
+
+    if data.ifs is not None:
+        Ki = interface_hessians(data.ifs, d, cp, h, data.E)
+        gii = _interface_global_dofs(data.ifs, C)  # (I, N, 6L)
+        K = K.at[gii[..., :, None], gii[..., None, :]].add(Ki)
+
+    free = data.free.reshape(-1)
+    K = K * free[:, None] * free[None, :]
+    K = K + jnp.diag(1.0 - free)
+    return K
+
+
+@partial(jax.jit, static_argnames=())
+def _newton_step_dense(data: SystemData, d, cp, h):
+    r = residual(data, d, cp, h)
+    K = assemble_K(data, d, cp, h)
+    delta = jnp.linalg.solve(K, -r.reshape(-1)).reshape(r.shape)
+    delta = delta * data.free
+    rnorm = jnp.linalg.norm(r)
+    return delta, rnorm
+
+
+class NonMatchingSystem:
+    """Host-side facade: build once from NURBS surfaces, then solve.
+
+    Mirrors the role of `NonMatchingOpt` (reference:
+    GOLDFISH/nonmatching_opt.py) with IGA DoFs as the only DoFs.
+    """
+
+    def __init__(
+        self,
+        surfs: list[NURBS],
+        E,
+        nu,
+        h_th,
+        specs: list[InterfaceSpec] | None = None,
+        penalty_coefficient: float = 1.0e3,
+        nq: int | None = None,
+        dtype=None,
+    ):
+        from goldfish_tpu.config import solve_dtype
+
+        dtype = dtype or solve_dtype()
+        self.dtype = dtype
+        self.surfs = surfs
+        self.num_splines = len(surfs)
+        self.stack, self.metas = build_patch_stack(surfs, nq=nq, dtype=dtype)
+        self.specs = specs or []
+        self.penalty_coefficient = penalty_coefficient
+        self.ifs = build_interfaces(
+            surfs, self.specs, penalty_coefficient, dtype=dtype)
+
+        P, C = self.stack.n_patches, self.stack.max_cp
+        self.E = jnp.broadcast_to(jnp.asarray(E, dtype=dtype), (P,))
+        self.nu = jnp.broadcast_to(jnp.asarray(nu, dtype=dtype), (P,))
+        h_arr = np.zeros((P, C))
+        h_in = np.asarray(h_th, dtype=np.float64)
+        for i, m in enumerate(self.metas):
+            h_arr[i, : m.n_cp] = h_in if h_in.ndim == 0 else h_in[i]
+        self.h_init = jnp.asarray(h_arr, dtype=dtype)
+
+        self.cp = stack_control_points(self.metas, dtype=dtype)
+        self._free = np.array(
+            self.stack.cp_mask[..., None] * np.ones(3), dtype=np.float64)
+        self.f_areal = None
+        self.point_load_entries = []
+        self.pressure = None
+        self._data = None
+
+    # -------------------------------------------------- BCs and loads
+    def add_zero_dofs(self, patch: int, cp_indices, fields=(0, 1, 2)):
+        """Pin listed CP coefficients of `patch` to zero."""
+        for f in fields:
+            self._free[patch, np.asarray(cp_indices, dtype=np.int64), f] = 0.0
+        self._data = None
+
+    def add_side_bc(self, patch: int, direction: int, side: int,
+                    n_layers: int = 1, fields=(0, 1, 2)):
+        """Clamp a parametric side (tIGAr getSideDofs/addZeroDofs
+        equivalent; reference: GOLDFISH/tests/test_tbeam.py:22-29)."""
+        m = self.metas[patch]
+        dofs = side_dofs(m.n_u, m.n_v, direction, side, n_layers)
+        self.add_zero_dofs(patch, dofs, fields)
+
+    def set_dead_load(self, f_per_patch):
+        f = np.asarray(f_per_patch, dtype=np.float64)
+        if f.ndim == 1:
+            f = np.tile(f, (self.num_splines, 1))
+        self.f_areal = jnp.asarray(f, dtype=self.dtype)
+        self._data = None
+
+    def add_point_load(self, patch: int, xi, force):
+        self.point_load_entries.append((patch, np.asarray(xi), np.asarray(force)))
+        self._data = None
+
+    def set_pressure(self, p_per_patch):
+        self.pressure = jnp.broadcast_to(
+            jnp.asarray(p_per_patch, dtype=self.dtype), (self.num_splines,))
+        self._data = None
+
+    # -------------------------------------------------- data pytree
+    @property
+    def data(self) -> SystemData:
+        if self._data is None:
+            pl = build_point_loads(
+                self.surfs, self.point_load_entries,
+                max_loc=self.stack.conn.shape[-1], dtype=self.dtype)
+            self._data = SystemData(
+                stack=self.stack,
+                ifs=self.ifs,
+                free=jnp.asarray(self._free, dtype=self.dtype),
+                E=self.E,
+                nu=self.nu,
+                f_areal=self.f_areal,
+                point_loads=pl,
+                pressure=self.pressure,
+            )
+        return self._data
+
+    def zero_displacement(self):
+        return jnp.zeros_like(self.cp)
+
+    # -------------------------------------------------- solves
+    def solve_nonlinear(self, cp=None, h=None, d0=None, rtol=1e-10,
+                        atol=0.0, max_it=30, verbose=False):
+        """Newton solve for displacements (dense direct path).
+
+        Mirrors PENGoLINS `solve_nonlinear_nonmatching_problem`
+        (SURVEY.md section 3.1 hot loop). Stops on relative residual
+        reduction, absolute tolerance, or stagnation at the floating-
+        point noise floor."""
+        cp = self.cp if cp is None else cp
+        h = self.h_init if h is None else h
+        d = self.zero_displacement() if d0 is None else d0
+        data = self.data
+        r0 = None
+        prev = None
+        for it in range(max_it):
+            delta, rnorm = _newton_step_dense(data, d, cp, h)
+            rnorm = float(rnorm)
+            if r0 is None:
+                r0 = max(rnorm, 1e-300)
+            if verbose:
+                print(f"  newton it {it}: |r| = {rnorm:.3e}")
+            if rnorm <= atol or rnorm / r0 < rtol:
+                break
+            if prev is not None and it > 2 and rnorm > 0.5 * prev:
+                break  # stagnation at the noise floor
+            prev = rnorm
+            d = d + delta
+        return d
+
+    # -------------------------------------------------- objectives
+    def internal_energy(self, d, cp=None, h=None):
+        cp = self.cp if cp is None else cp
+        h = self.h_init if h is None else h
+        return kl_shell.internal_energy(self.stack, d, cp, h, self.E, self.nu)
+
+    def volume(self, cp=None, h=None):
+        cp = self.cp if cp is None else cp
+        h = self.h_init if h is None else h
+        return kl_shell.volume(self.stack, cp, h)
+
+    def evaluate_displacement(self, d, patch: int, xi):
+        """u(xi) on one patch (host helper for QoI checks)."""
+        from goldfish_tpu.ops.bspline import rational_basis_2d
+
+        s = self.surfs[patch]
+        p, q = s.degree
+        conn, tab = rational_basis_2d(
+            s.knots[0], s.knots[1], p, q, s.weights,
+            np.asarray(xi, dtype=np.float64)[None, :], nd=0)
+        dloc = np.asarray(d[patch])[conn[0]]
+        return tab[(0, 0)][0] @ dloc

@@ -7,8 +7,7 @@ separately on real hardware).
 
 import os
 
-# Must happen before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Virtual device count must be set before the CPU backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +16,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# NOTE: this environment pre-imports jax via sitecustomize with
+# JAX_PLATFORMS=axon (real TPU); the env var is frozen by then, so the
+# config update is the only reliable override.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

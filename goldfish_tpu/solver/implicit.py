@@ -1,0 +1,137 @@
+"""Differentiable implicit displacement solve (the adjoint engine).
+
+TPU-native replacement for the reference's implicit-operation machinery
+(reference: GOLDFISH/operations/disp_imop.py — `solve_nonlinear` Newton,
+`linearize` caching dRIGAduIGA / dRIGAdCPIGA / dRIGAdh_th, and the
+MUMPS-backed `solve_linear_fwd/rev`): the whole apparatus collapses into
+ONE `jax.custom_vjp`-wrapped function
+
+    d = solve_displacement(cp, h)
+
+whose backward pass is the implicit-function-theorem adjoint
+
+    K(d*) lam = dJ/dd,     dJ/dp -= lam^T dR/dp
+
+with K the exact (symmetric) tangent from `assemble_K` and dR/dp
+obtained by `jax.vjp` through the residual — no hand-derived partial
+matrices anywhere. Composes with `jax.grad` on any downstream objective,
+so `jax.grad(lambda h: J(solve(cp, h), cp, h))` is the entire adjoint
+pipeline of the reference SURVEY.md section 3.1 gradient pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from goldfish_tpu.solver.system import (
+    SystemData,
+    assemble_K,
+    residual,
+    total_potential,
+)
+
+__all__ = ["newton_solve", "build_solve_fn"]
+
+
+@partial(jax.jit, static_argnames=("max_it",))
+def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
+                 max_it=30):
+    """Fully-jitted damped-Newton solve for the displacement field.
+
+    Dense-direct linear solves (small/medium systems; the matrix-free
+    Krylov path lives in solver/krylov.py). Runs a `lax.while_loop`
+    so the whole solve is one XLA computation: no host round-trips per
+    iteration, unlike the reference's PETSc-driven loop
+    (PENGoLINS `solve_nonlinear_nonmatching_problem`).
+
+    Because the conservative system derives from a single potential Pi,
+    globalization is an Armijo backtracking line search on Pi itself —
+    a guaranteed-descent strategy the reference's plain Newton loop
+    lacks (a full step on a tip-loaded shell can overshoot the energy
+    basin; NaN trial energies simply keep backtracking).
+
+    Convergence: relative/absolute residual tolerance, OR energy
+    stagnation — when the predicted decrease |r . delta| drops below
+    machine precision relative to Pi, the solve has hit the noise floor
+    of the linear algebra (cond(K) * eps) and further iterations are
+    meaningless in the working dtype.
+
+    Returns (d, iterations, final |r|).
+    """
+    r0n = jnp.linalg.norm(residual(data, d0, cp, h))
+    r0n = jnp.maximum(r0n, 1e-300)
+    eps = jnp.finfo(d0.dtype).eps
+
+    def cond(state):
+        d, it, rnorm, done = state
+        return (it < max_it) & (~done) & (rnorm > atol) & (rnorm > rtol * r0n)
+
+    def body(state):
+        d, it, _, _ = state
+        r = residual(data, d, cp, h)
+        K = assemble_K(data, d, cp, h)
+        delta = jnp.linalg.solve(K, -r.reshape(-1)).reshape(r.shape)
+        delta = delta * data.free
+
+        Pi0 = total_potential(data, d, cp, h)
+        slope = jnp.sum(r * delta)  # descent: < 0 for SPD K
+        # Predicted decrease below the dtype's energy resolution: the
+        # Armijo test is pure roundoff noise there. Take the plain full
+        # Newton step (quadratic endgame polish) and stop after it.
+        done = jnp.abs(slope) <= 4.0 * eps * jnp.abs(Pi0) + 1e-300
+
+        def ls_cond(s):
+            alpha, j = s
+            Pi_try = total_potential(data, d + alpha * delta, cp, h)
+            ok = Pi_try <= Pi0 + 1e-4 * alpha * slope + 16 * eps * jnp.abs(Pi0)
+            return jnp.logical_not(ok) & (j < 30) & jnp.logical_not(done)
+
+        def ls_body(s):
+            return s[0] * 0.5, s[1] + 1
+
+        alpha, _ = jax.lax.while_loop(
+            ls_cond, ls_body, (jnp.asarray(1.0, dtype=d0.dtype), jnp.int32(0)))
+        d = d + alpha * delta
+        rnew = jnp.linalg.norm(residual(data, d, cp, h))
+        return d, it + 1, rnew, done
+
+    d, it, rn, _ = jax.lax.while_loop(
+        cond, body, (d0, jnp.int32(0), r0n, jnp.asarray(False)))
+    return d, it, rn
+
+
+def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30):
+    """Return a differentiable `solve(cp, h, d0) -> d`.
+
+    `data` (BCs, quadrature tables, loads) is closed over and treated as
+    non-differentiable — design variables reach the physics only through
+    `cp` and `h`, exactly the design surface of the reference
+    (CP_IGA per field + thickness; reference:
+    GOLDFISH/om_comps/disp_states_comp.py:30-50).
+    """
+
+    @jax.custom_vjp
+    def solve(cp, h, d0):
+        d, _, _ = newton_solve(data, cp, h, d0, rtol=rtol, atol=atol,
+                               max_it=max_it)
+        return d
+
+    def fwd(cp, h, d0):
+        d = solve(cp, h, d0)
+        return d, (d, cp, h)
+
+    def bwd(res, g):
+        d, cp, h = res
+        K = assemble_K(data, d, cp, h)  # symmetric -> adjoint == tangent
+        lam = jnp.linalg.solve(
+            K, (g * data.free).reshape(-1)).reshape(g.shape)
+        lam = lam * data.free
+        _, vjp = jax.vjp(lambda cp_, h_: residual(data, d, cp_, h_), cp, h)
+        dcp, dh = vjp(-lam)
+        return dcp, dh, jnp.zeros_like(d)
+
+    solve.defvjp(fwd, bwd)
+    return solve

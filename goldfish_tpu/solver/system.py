@@ -125,16 +125,6 @@ def assemble_K(data: SystemData, d, cp, h):
     return K
 
 
-@partial(jax.jit, static_argnames=())
-def _newton_step_dense(data: SystemData, d, cp, h):
-    r = residual(data, d, cp, h)
-    K = assemble_K(data, d, cp, h)
-    delta = jnp.linalg.solve(K, -r.reshape(-1)).reshape(r.shape)
-    delta = delta * data.free
-    rnorm = jnp.linalg.norm(r)
-    return delta, rnorm
-
-
 class NonMatchingSystem:
     """Host-side facade: build once from NURBS surfaces, then solve.
 
@@ -238,31 +228,20 @@ class NonMatchingSystem:
     # -------------------------------------------------- solves
     def solve_nonlinear(self, cp=None, h=None, d0=None, rtol=1e-10,
                         atol=0.0, max_it=30, verbose=False):
-        """Newton solve for displacements (dense direct path).
+        """Damped-Newton solve for displacements (dense direct path).
 
         Mirrors PENGoLINS `solve_nonlinear_nonmatching_problem`
-        (SURVEY.md section 3.1 hot loop). Stops on relative residual
-        reduction, absolute tolerance, or stagnation at the floating-
-        point noise floor."""
+        (SURVEY.md section 3.1 hot loop); delegates to the jitted
+        line-searched loop in solver/implicit.py."""
+        from goldfish_tpu.solver.implicit import newton_solve
+
         cp = self.cp if cp is None else cp
         h = self.h_init if h is None else h
         d = self.zero_displacement() if d0 is None else d0
-        data = self.data
-        r0 = None
-        prev = None
-        for it in range(max_it):
-            delta, rnorm = _newton_step_dense(data, d, cp, h)
-            rnorm = float(rnorm)
-            if r0 is None:
-                r0 = max(rnorm, 1e-300)
-            if verbose:
-                print(f"  newton it {it}: |r| = {rnorm:.3e}")
-            if rnorm <= atol or rnorm / r0 < rtol:
-                break
-            if prev is not None and it > 2 and rnorm > 0.5 * prev:
-                break  # stagnation at the noise floor
-            prev = rnorm
-            d = d + delta
+        d, it, rn = newton_solve(self.data, cp, h, d, rtol=rtol, atol=atol,
+                                 max_it=max_it)
+        if verbose:
+            print(f"  newton: {int(it)} its, |r| = {float(rn):.3e}")
         return d
 
     # -------------------------------------------------- objectives

@@ -1,0 +1,195 @@
+"""Host-side optimization driver: SLSQP over jitted JAX callbacks.
+
+The rebuild's replacement for the OpenMDAO Group + ScipyOptimizeDriver
+pattern every reference demo uses (reference:
+demos_om/thickness_opt/plate/plate_var_th_opt_wint.py:338-364): design
+variables, constraints and the objective are plain JAX functions of a
+dict of design arrays; this driver flattens/scales them, jits
+value-and-grad / jacobian evaluations (one XLA computation per
+optimizer callback — the whole forward solve + adjoint runs on device),
+and hands scipy SLSQP the host-side numbers. Optimizers stay host-side
+by design (SURVEY.md section 2.4, OpenMDAO row).
+
+Warm starting: the objective may thread an arbitrary non-differentiated
+state pytree (typically the previous displacement solution) through
+successive evaluations — the analogue of the reference keeping
+`spline_funcs` between iterations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import minimize
+
+__all__ = ["OptProblem", "OptResult"]
+
+
+@dataclass
+class _DesignVar:
+    name: str
+    init: np.ndarray
+    lower: float | np.ndarray | None
+    upper: float | np.ndarray | None
+    scaler: float
+
+
+@dataclass
+class _Constraint:
+    name: str
+    fn: Callable
+    equals: np.ndarray | None
+    lower: np.ndarray | None
+    upper: np.ndarray | None
+    scaler: float
+
+
+@dataclass
+class OptResult:
+    x: dict
+    fun: float
+    nit: int
+    success: bool
+    message: str
+    history: list = field(default_factory=list)
+
+
+class OptProblem:
+    """Declarative optimization problem over named design arrays."""
+
+    def __init__(self):
+        self._dvs: list[_DesignVar] = []
+        self._cons: list[_Constraint] = []
+        self._obj = None
+        self._obj_scaler = 1.0
+        self._state0 = None
+        self.iter_callback = None
+
+    # ------------------------------------------------------------ setup
+    def add_design_var(self, name, init, lower=None, upper=None,
+                       scaler=1.0):
+        self._dvs.append(_DesignVar(
+            name, np.asarray(init, dtype=np.float64), lower, upper,
+            float(scaler)))
+
+    def set_objective(self, fn, scaler=1.0, state0=None):
+        """fn(dvs: dict) -> scalar, or fn(dvs, state) -> (scalar, state)
+        when `state0` is given (state is threaded, not differentiated)."""
+        self._obj = fn
+        self._obj_scaler = float(scaler)
+        self._state0 = state0
+
+    def add_constraint(self, name, fn, equals=None, lower=None, upper=None,
+                       scaler=1.0):
+        """fn(dvs: dict) -> vector (or scalar)."""
+        to = lambda v: None if v is None else np.atleast_1d(
+            np.asarray(v, dtype=np.float64))
+        self._cons.append(_Constraint(name, fn, to(equals), to(lower),
+                                      to(upper), float(scaler)))
+
+    # ------------------------------------------------------- flattening
+    def _pack_info(self):
+        sizes = [v.init.size for v in self._dvs]
+        offs = np.cumsum([0] + sizes)
+        return offs, int(offs[-1])
+
+    def _unflatten(self, x):
+        offs, _ = self._pack_info()
+        out = {}
+        for v, o0, o1 in zip(self._dvs, offs[:-1], offs[1:]):
+            out[v.name] = jnp.reshape(x[o0:o1], v.init.shape) / v.scaler
+        return out
+
+    def _x0(self):
+        return np.concatenate(
+            [v.scaler * v.init.ravel() for v in self._dvs])
+
+    def _bounds(self):
+        bs = []
+        for v in self._dvs:
+            lo = -np.inf if v.lower is None else v.lower
+            hi = np.inf if v.upper is None else v.upper
+            lo = np.broadcast_to(np.asarray(lo, dtype=np.float64) * v.scaler,
+                                 (v.init.size,))
+            hi = np.broadcast_to(np.asarray(hi, dtype=np.float64) * v.scaler,
+                                 (v.init.size,))
+            bs.append(np.stack([lo, hi], axis=1))
+        return np.concatenate(bs, axis=0)
+
+    # ------------------------------------------------------------- run
+    def run_slsqp(self, maxiter=100, tol=1e-9, verbose=False):
+        assert self._obj is not None, "set_objective first"
+        has_state = self._state0 is not None
+        state_box = [self._state0]
+
+        if has_state:
+            def raw(x, state):
+                dvs = self._unflatten(x)
+                J, new_state = self._obj(dvs, state)
+                return self._obj_scaler * J, new_state
+
+            vg = jax.jit(jax.value_and_grad(raw, has_aux=True))
+
+            def f_obj(x):
+                (J, new_state), g = vg(jnp.asarray(x), state_box[0])
+                state_box[0] = new_state
+                return float(J), np.asarray(g, dtype=np.float64)
+        else:
+            def raw(x):
+                return self._obj_scaler * self._obj(self._unflatten(x))
+
+            vg = jax.jit(jax.value_and_grad(raw))
+
+            def f_obj(x):
+                J, g = vg(jnp.asarray(x))
+                return float(J), np.asarray(g, dtype=np.float64)
+
+        cons = []
+        for c in self._cons:
+            cfn = jax.jit(lambda x, c=c: c.scaler * jnp.atleast_1d(
+                c.fn(self._unflatten(x))))
+            cjac = jax.jit(jax.jacrev(lambda x, c=c: c.scaler * jnp.atleast_1d(
+                c.fn(self._unflatten(x)))))
+            if c.equals is not None:
+                t = c.scaler * c.equals
+                cons.append(dict(
+                    type="eq",
+                    fun=lambda x, cfn=cfn, t=t: np.asarray(cfn(jnp.asarray(x))) - t,
+                    jac=lambda x, cjac=cjac: np.asarray(cjac(jnp.asarray(x)))))
+            if c.lower is not None:
+                t = c.scaler * c.lower
+                cons.append(dict(
+                    type="ineq",
+                    fun=lambda x, cfn=cfn, t=t: np.asarray(cfn(jnp.asarray(x))) - t,
+                    jac=lambda x, cjac=cjac: np.asarray(cjac(jnp.asarray(x)))))
+            if c.upper is not None:
+                t = c.scaler * c.upper
+                cons.append(dict(
+                    type="ineq",
+                    fun=lambda x, cfn=cfn, t=t: t - np.asarray(cfn(jnp.asarray(x))),
+                    jac=lambda x, cjac=cjac: -np.asarray(cjac(jnp.asarray(x)))))
+
+        history = []
+
+        def cb(x):
+            J, _ = f_obj(x)
+            history.append(J)
+            if verbose:
+                print(f"  slsqp iter {len(history)}: J = {J:.6e}")
+            if self.iter_callback is not None:
+                self.iter_callback(self._unflatten(jnp.asarray(x)), J)
+
+        res = minimize(
+            f_obj, self._x0(), jac=True, method="SLSQP",
+            bounds=self._bounds(), constraints=cons, callback=cb,
+            options=dict(maxiter=maxiter, ftol=tol, disp=verbose))
+
+        xdict = {k: np.asarray(v) for k, v in
+                 self._unflatten(jnp.asarray(res.x)).items()}
+        return OptResult(x=xdict, fun=float(res.fun) / self._obj_scaler,
+                         nit=int(res.nit), success=bool(res.success),
+                         message=str(res.message), history=history)

@@ -39,7 +39,13 @@ from goldfish_tpu.physics.coupling import (
     interface_hessians,
     penalty_energy,
 )
-from goldfish_tpu.physics.loads import PointLoads, build_point_loads, external_work
+from goldfish_tpu.physics.loads import (
+    EdgeLoads,
+    PointLoads,
+    build_edge_loads,
+    build_point_loads,
+    external_work,
+)
 
 __all__ = ["SystemData", "NonMatchingSystem", "total_potential", "residual",
            "assemble_K", "element_global_dofs"]
@@ -56,6 +62,7 @@ class SystemData(NamedTuple):
     f_areal: jnp.ndarray | None    # (P, 3) dead load or None
     point_loads: PointLoads | None
     pressure: jnp.ndarray | None   # (P,) follower pressure or None
+    edge_loads: EdgeLoads | None
 
 
 def total_potential(data: SystemData, d, cp, h):
@@ -63,7 +70,8 @@ def total_potential(data: SystemData, d, cp, h):
     W = kl_shell.internal_energy(data.stack, d, cp, h, data.E, data.nu)
     W = W + penalty_energy(data.ifs, d, cp, h, data.E)
     W = W - external_work(data.stack, d, cp, data.f_areal,
-                          data.point_loads, data.pressure)
+                          data.point_loads, data.pressure,
+                          data.edge_loads)
     return W
 
 
@@ -169,6 +177,7 @@ class NonMatchingSystem:
             self.stack.cp_mask[..., None] * np.ones(3), dtype=np.float64)
         self.f_areal = None
         self.point_load_entries = []
+        self.edge_load_entries = []
         self.pressure = None
         self._data = None
 
@@ -198,6 +207,13 @@ class NonMatchingSystem:
         self.point_load_entries.append((patch, np.asarray(xi), np.asarray(force)))
         self._data = None
 
+    def add_edge_load(self, patch: int, direction: int, side: int, force):
+        """Dead line load on a whole parametric edge (UFL `ds` source
+        equivalent)."""
+        self.edge_load_entries.append(
+            (patch, direction, side, np.asarray(force)))
+        self._data = None
+
     def set_pressure(self, p_per_patch):
         self.pressure = jnp.broadcast_to(
             jnp.asarray(p_per_patch, dtype=self.dtype), (self.num_splines,))
@@ -210,6 +226,9 @@ class NonMatchingSystem:
             pl = build_point_loads(
                 self.surfs, self.point_load_entries,
                 max_loc=self.stack.conn.shape[-1], dtype=self.dtype)
+            el = build_edge_loads(
+                self.surfs, self.edge_load_entries,
+                max_loc=self.stack.conn.shape[-1], dtype=self.dtype)
             self._data = SystemData(
                 stack=self.stack,
                 ifs=self.ifs,
@@ -219,6 +238,7 @@ class NonMatchingSystem:
                 f_areal=self.f_areal,
                 point_loads=pl,
                 pressure=self.pressure,
+                edge_loads=el,
             )
         return self._data
 

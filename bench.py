@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark: per-optimization-iteration wall clock on the 20-patch wing.
+
+Governing metric (BASELINE.md): one full optimization iteration =
+warm-started nonlinear forward solve + objective + full adjoint gradient
+(dJ/d h_ffd through the implicit solve), on a 20-patch non-matching
+wing. The reference publishes no numbers; the recorded baseline is the
+identical workload executed on this host's CPU backend in float64 (the
+reference's native precision/stack-equivalent), measured via
+GOLDFISH_BENCH_CPU=1 and pinned below.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
+vs_baseline = CPU_BASELINE_S / value  (>1 means faster than baseline).
+"""
+
+import json
+import os
+import sys
+import time
+
+# CPU float64 baseline for the identical workload (see module docstring).
+# Measured on this build host (GOLDFISH_BENCH_CPU=1 python bench.py),
+# median of 5 iterations after compile/warm-up.
+CPU_BASELINE_S = 7.44
+
+
+def build_workload():
+    import jax
+    import jax.numpy as jnp
+
+    from goldfish_tpu.design.pipeline import ThicknessFFD
+    from goldfish_tpu.models import wing
+    from goldfish_tpu.physics import kl_shell
+    from goldfish_tpu.solver.implicit import build_solve_fn
+
+    sys_ = wing.build(num_el=6, p=3)
+    th = ThicknessFFD(sys_, num_els=(4, 4, 1), p=(2, 2, 1))
+    solve = build_solve_fn(sys_.data, rtol=1e-9, max_it=30)
+    cp = sys_.cp
+
+    def opt_iteration(h_ffd, d0):
+        h = th(h_ffd)
+        d = solve(cp, h, d0)
+        J = kl_shell.internal_energy(sys_.stack, d, cp, h, sys_.E, sys_.nu)
+        return J, d
+
+    vg = jax.jit(jax.value_and_grad(opt_iteration, has_aux=True))
+    h0 = jnp.asarray(th.init_h_ffd(wing.H_TH))
+    d0 = sys_.zero_displacement()
+    n_dofs = sys_.num_splines * sys_.stack.max_cp * 3
+    return vg, h0, d0, n_dofs
+
+
+def main():
+    if os.environ.get("GOLDFISH_BENCH_CPU") == "1":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    os.environ.setdefault("GOLDFISH_TPU_X64", "1")
+    import jax
+
+    from goldfish_tpu.config import use_x64
+    use_x64(True)
+
+    vg, h0, d0, n_dofs = build_workload()
+
+    # compile + converge the warm start
+    (J, d), g = vg(h0, d0)
+    jax.block_until_ready((J, d, g))
+
+    times = []
+    for k in range(5):
+        hk = h0 * (1.0 + 1e-4 * (k + 1))  # optimizer-step-sized change
+        t0 = time.perf_counter()
+        (J, d), g = vg(hk, d)
+        jax.block_until_ready((J, d, g))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    t = times[len(times) // 2]
+
+    print(json.dumps({
+        "metric": "wing20_opt_iteration_wall",
+        "value": round(t, 4),
+        "unit": "s",
+        "vs_baseline": round(CPU_BASELINE_S / t, 2),
+        "detail": {
+            "n_patches": 20,
+            "n_dofs": n_dofs,
+            "backend": jax.default_backend(),
+            "all_times": [round(x, 4) for x in times],
+            "J": float(J),
+            "cpu_baseline_s": CPU_BASELINE_S,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

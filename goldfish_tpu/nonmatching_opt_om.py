@@ -1,0 +1,24 @@
+"""Umbrella import for OpenMDAO drivers — mirrors the reference's
+GOLDFISH/nonmatching_opt_om.py:1-36 (including providing the
+CPFFDAlignComp its tree is missing; SURVEY.md section 2.3).
+
+Requires the optional `openmdao` dependency.
+"""
+
+from goldfish_tpu.om_comps.components import (  # noqa: F401
+    ComplianceComp,
+    CPFE2IGAComp,
+    CPFFD2SurfComp,
+    CPFFDAlignComp,
+    CPFFDPinComp,
+    CPFFDReguComp,
+    DispStatesComp,
+    HthFE2IGAComp,
+    HthFFD2FEComp,
+    HthFFDAlignComp,
+    HthFFDReguComp,
+    IntEnergyComp,
+    MaxvMStressComp,
+    VolumeComp,
+)
+from goldfish_tpu.solver.system import NonMatchingSystem  # noqa: F401

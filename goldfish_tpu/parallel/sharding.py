@@ -1,0 +1,119 @@
+"""Multi-device execution: patch sharding over a jax.sharding.Mesh.
+
+The reference's only parallelism is MPI-rank distribution of patches
+through PETSc nest objects (SURVEY.md sections 2.4/2.5 — no NCCL, no
+TP/PP/SP; patches ARE the data-parallel axis). The TPU-native mapping:
+
+  - the `patch` mesh axis shards every (P, ...) array of the
+    PatchStack / SystemData pytree across devices — element quadrature
+    tables (the heavy arrays) and per-patch states live shard-local;
+  - penalty-coupling terms gather both sides' coefficients by patch
+    index; under GSPMD those gathers lower to XLA collectives over ICI
+    (the halo exchange of SURVEY.md section 2.5);
+  - reductions (total energy, residual norms) become psums inserted by
+    XLA; the dense tangent remains replicated (small relative to the
+    quadrature data) — the analogue of the reference's allgathered
+    global vectors at component boundaries, but staying on device.
+
+Patch counts are padded to a multiple of the device count with
+zero-weight phantom patches (padding discipline of
+geometry/patch_stack.py: replicate real geometry, zero quadrature
+weight/mask, so no NaN guards are needed anywhere).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from goldfish_tpu.solver.system import SystemData
+
+__all__ = ["make_mesh", "pad_system", "pad_patch_array", "system_shardings",
+           "shard_system"]
+
+
+def make_mesh(devices=None, axis: str = "patch") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _pad_leading(x, P_new, mode):
+    """Pad axis 0 from P to P_new: 'repeat' replicates entry 0,
+    'zero' pads zeros."""
+    k = P_new - x.shape[0]
+    if k <= 0:
+        return x
+    if mode == "repeat":
+        filler = jnp.repeat(x[:1], k, axis=0)
+    else:
+        filler = jnp.zeros((k,) + x.shape[1:], dtype=x.dtype)
+    return jnp.concatenate([x, filler], axis=0)
+
+
+def pad_patch_array(x, P_old, P_new, mode="repeat"):
+    assert x.shape[0] == P_old
+    return _pad_leading(x, P_new, mode)
+
+
+def pad_system(data: SystemData, P_new: int) -> SystemData:
+    """Append phantom patches: real geometry replicated from patch 0,
+    zero quadrature weights, zero masks, fully-fixed dofs."""
+    st = data.stack
+    P = st.n_patches
+    if P_new == P:
+        return data
+    assert P_new > P
+    new_stack = st._replace(
+        R00=_pad_leading(st.R00, P_new, "repeat"),
+        R10=_pad_leading(st.R10, P_new, "repeat"),
+        R01=_pad_leading(st.R01, P_new, "repeat"),
+        R20=_pad_leading(st.R20, P_new, "repeat"),
+        R11=_pad_leading(st.R11, P_new, "repeat"),
+        R02=_pad_leading(st.R02, P_new, "repeat"),
+        conn=_pad_leading(st.conn, P_new, "repeat"),
+        wq=_pad_leading(st.wq, P_new, "zero"),
+        cp_mask=_pad_leading(st.cp_mask, P_new, "zero"),
+    )
+    return data._replace(
+        stack=new_stack,
+        free=_pad_leading(data.free, P_new, "zero"),
+        E=_pad_leading(data.E, P_new, "repeat"),
+        nu=_pad_leading(data.nu, P_new, "repeat"),
+        f_areal=None if data.f_areal is None
+        else _pad_leading(data.f_areal, P_new, "zero"),
+        pressure=None if data.pressure is None
+        else _pad_leading(data.pressure, P_new, "zero"),
+    )
+
+
+def pad_state(x, P_new, mode="repeat"):
+    """Pad a (P, C, ...) state/coefficient array (cp: 'repeat' keeps
+    real geometry under the phantom patches; d/h: either works)."""
+    return _pad_leading(x, P_new, mode)
+
+
+def system_shardings(data: SystemData, mesh: Mesh, axis: str = "patch"):
+    """Sharding pytree for SystemData: (P, ...) leaves sharded on
+    `axis`, everything else (interfaces, loads, scalars) replicated."""
+    P_ = data.stack.n_patches
+    repl = NamedSharding(mesh, P())
+
+    def leaf_sharding(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == P_:
+            return NamedSharding(mesh, P(axis))
+        return repl
+
+    return jax.tree_util.tree_map(leaf_sharding, data)
+
+
+def state_sharding(mesh: Mesh, axis: str = "patch"):
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_system(data: SystemData, mesh: Mesh, axis: str = "patch"):
+    """device_put the system pytree with patch sharding."""
+    shardings = system_shardings(data, mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), data, shardings)

@@ -26,6 +26,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from goldfish_tpu.solver.linalg import (
+    cast_floating,
+    f32_lu_solve,
+    linear_solve,
+    mode,
+)
 from goldfish_tpu.solver.system import (
     SystemData,
     assemble_K,
@@ -61,20 +67,39 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
 
     Returns (d, iterations, final |r|).
     """
+    # Convergence reference: the ZERO-displacement residual (the load
+    # scale), NOT |r(d0)| — otherwise a warm-started solve (optimizer
+    # iterations hand in the previous solution) can never satisfy a
+    # relative tolerance and burns max_it doing nothing.
+    r_ref = jnp.linalg.norm(residual(data, jnp.zeros_like(d0), cp, h))
     r0n = jnp.linalg.norm(residual(data, d0, cp, h))
-    r0n = jnp.maximum(r0n, 1e-300)
+    r_ref = jnp.maximum(jnp.maximum(r_ref, r0n * 1e-6), 1e-300)
     eps = jnp.finfo(d0.dtype).eps
+
+    # On TPU ('mixed' mode) the tangent is assembled and factored in
+    # native f32 — residuals and energies stay in the working dtype, so
+    # solution accuracy is unaffected; only the Newton DIRECTION is
+    # inexact, which the line search absorbs. On CPU this is a no-op.
+    mixed = mode() == "mixed"
+    if mixed:
+        data_K = cast_floating(data, jnp.float32)
+        cp_K, h_K = cp.astype(jnp.float32), h.astype(jnp.float32)
+
+    def direction(d, r):
+        if mixed:
+            K = assemble_K(data_K, d.astype(jnp.float32), cp_K, h_K)
+            return f32_lu_solve(K, -r.reshape(-1)).reshape(r.shape)
+        K = assemble_K(data, d, cp, h)
+        return linear_solve(K, -r.reshape(-1)).reshape(r.shape)
 
     def cond(state):
         d, it, rnorm, done = state
-        return (it < max_it) & (~done) & (rnorm > atol) & (rnorm > rtol * r0n)
+        return (it < max_it) & (~done) & (rnorm > atol) & (rnorm > rtol * r_ref)
 
     def body(state):
         d, it, _, _ = state
         r = residual(data, d, cp, h)
-        K = assemble_K(data, d, cp, h)
-        delta = jnp.linalg.solve(K, -r.reshape(-1)).reshape(r.shape)
-        delta = delta * data.free
+        delta = direction(d, r) * data.free
 
         Pi0 = total_potential(data, d, cp, h)
         slope = jnp.sum(r * delta)  # descent: < 0 for SPD K
@@ -126,7 +151,7 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30):
     def bwd(res, g):
         d, cp, h = res
         K = assemble_K(data, d, cp, h)  # symmetric -> adjoint == tangent
-        lam = jnp.linalg.solve(
+        lam = linear_solve(
             K, (g * data.free).reshape(-1)).reshape(g.shape)
         lam = lam * data.free
         _, vjp = jax.vjp(lambda cp_, h_: residual(data, d, cp_, h_), cp, h)

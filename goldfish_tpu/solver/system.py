@@ -81,6 +81,15 @@ def residual(data: SystemData, d, cp, h):
     return r * data.free
 
 
+def tangent_matvec(data: SystemData, d, cp, h, v):
+    """Matrix-free K @ v in the working dtype (exact Hessian-vector
+    product through the potential; BC-masked both sides). The TPU
+    replacement for PETSc MatMult on the assembled nest matrix."""
+    mv = jax.jvp(lambda dd: residual(data, dd, cp, h),
+                 (d,), (v * data.free,))[1]
+    return mv * data.free
+
+
 def element_global_dofs(stack: PatchStack):
     """Global dof index of each element-local dof: (P, E, 3L)."""
     P, E, L = stack.conn.shape

@@ -1,0 +1,71 @@
+"""Objective library: aggregation accuracy + differentiability
+(reference analogue: operations/max_vmstress_exop.py __main__ checks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from goldfish_tpu.models import plate
+from goldfish_tpu.physics import kl_shell, objectives
+from goldfish_tpu.solver.implicit import build_solve_fn
+
+
+@pytest.fixture(scope="module")
+def solved_plate():
+    sys = plate.build(num_el=3, p=2, num_patches=3)
+    d = sys.solve_nonlinear(rtol=1e-12)
+    return sys, d
+
+
+def test_compliance_clapeyron(solved_plate):
+    sys, d = solved_plate
+    W = float(objectives.internal_energy(sys.data, d, sys.cp, sys.h_init))
+    C = float(objectives.compliance(sys.data, d, sys.cp, sys.h_init))
+    # linear regime: compliance ~ 2 * strain energy (Clapeyron)
+    assert abs(C - 2 * W) / C < 0.02, (C, 2 * W)
+
+
+@pytest.mark.parametrize("method", ["KS", "pnorm", "induced power"])
+def test_max_vm_aggregation_close_to_true_max(solved_plate, method):
+    sys, d = solved_plate
+    s = kl_shell.qp_stress_vm(sys.stack, d, sys.cp, sys.h_init,
+                              sys.E, sys.nu, through="top")
+    wq = np.asarray(sys.stack.wq)
+    true_max = float(np.max(np.where(wq > 0, np.asarray(s), 0.0)))
+    agg = float(objectives.max_vm_stress(sys.data, d, sys.cp, sys.h_init,
+                                         rho=200.0, method=method))
+    assert abs(agg - true_max) / true_max < 0.25, (method, agg, true_max)
+
+
+def test_max_vm_gradient_parity(solved_plate):
+    sys, _ = solved_plate
+    solve = build_solve_fn(sys.data, rtol=1e-11, max_it=25)
+    d0 = sys.zero_displacement()
+    cp = sys.cp
+
+    # freeze the normalization constants so FD and AD see the same
+    # functional (the reference recomputes m per linearize the same way)
+    d_star = solve(cp, sys.h_init, d0)
+    s = kl_shell.qp_stress_vm(sys.stack, d_star, cp, sys.h_init,
+                              sys.E, sys.nu, through="top")
+    m = float(np.max(np.where(np.asarray(sys.stack.wq) > 0,
+                              np.asarray(s), 0.0)))
+
+    # KS rho is DIMENSIONAL (1/stress), reference semantics
+    # (max_vmstress_exop.KS_symexp): pick rho so rho*m ~ 50
+    rho = 50.0 / m
+
+    def J(h):
+        d = solve(cp, h, d0)
+        return objectives.max_vm_stress(sys.data, d, cp, h, rho=rho,
+                                        method="KS", m=m)
+
+    g = jax.grad(J)(sys.h_init)
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=sys.h_init.shape)
+                    * np.asarray(sys.stack.cp_mask))
+    eps = 1e-6
+    fd = (J(sys.h_init + eps * v) - J(sys.h_init - eps * v)) / (2 * eps)
+    ad = jnp.sum(g * v)
+    assert abs(float(ad - fd)) / abs(float(fd)) < 1e-5, (float(ad), float(fd))

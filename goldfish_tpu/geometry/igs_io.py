@@ -1,0 +1,154 @@
+"""IGES (.igs) import: rational B-spline surfaces (entity 128).
+
+Replaces the reference's pythonOCC path `read_igs_file` +
+`topoface2surface` (reference: demos usage at
+demos_om/thickness_opt/plate/plate_var_th_opt_wint.py:230-233; the
+PENGoLINS helpers wrap OpenCASCADE's IGES processor). Parses the IGES
+file format directly (spec: USPRO/IGES 5.3): fixed 80-column records,
+Start/Global/Directory/Parameter/Terminate sections; only entity type
+128 (rational B-spline surface) is materialized — exactly what the
+shell pipeline consumes. Returns geometry/nurbs.NURBS objects.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from goldfish_tpu.geometry.nurbs import NURBS
+
+__all__ = ["read_igs_file"]
+
+
+def _parse_free_format(text: str, pdelim: str, rdelim: str):
+    """Split an IGES free-format parameter string into tokens, handling
+    nH Hollerith strings."""
+    toks = []
+    i = 0
+    n = len(text)
+    cur = ""
+    while i < n:
+        c = text[i]
+        if c == "H" and cur.strip().isdigit():
+            k = int(cur.strip())
+            toks.append(text[i + 1: i + 1 + k])
+            i += k + 1
+            cur = ""
+            # skip to next delimiter
+            while i < n and text[i] not in (pdelim, rdelim):
+                i += 1
+            i += 1
+            continue
+        if c == pdelim or c == rdelim:
+            toks.append(cur.strip())
+            cur = ""
+            i += 1
+            if c == rdelim:
+                break
+            continue
+        cur += c
+        i += 1
+    if cur.strip():
+        toks.append(cur.strip())
+    return toks
+
+
+def _num(tok: str) -> float:
+    tok = tok.strip()
+    if not tok:
+        return 0.0
+    # IGES allows D exponents
+    return float(tok.replace("D", "E").replace("d", "e"))
+
+
+def read_igs_file(path: str) -> list[NURBS]:
+    """Parse all type-128 entities into NURBS surfaces."""
+    with open(path, "r", errors="replace") as f:
+        raw = f.read().splitlines()
+
+    glob_lines, dir_lines, par_lines = [], [], []
+    for line in raw:
+        if len(line) < 73:
+            line = line.ljust(80)
+        sec = line[72]
+        if sec == "G":
+            glob_lines.append(line[:72])
+        elif sec == "D":
+            dir_lines.append(line[:72])
+        elif sec == "P":
+            par_lines.append(line)
+
+    # global section: first two parameters are the delimiters
+    gtext = "".join(glob_lines)
+    pdelim, rdelim = ",", ";"
+    mm = re.match(r"^(.)(?:.)", gtext)
+    if gtext.startswith(","):
+        pdelim = ","
+        rest = gtext[1:]
+    else:
+        m = re.match(r"^1H(.)", gtext)
+        if m:
+            pdelim = m.group(1)
+            rest = gtext[4:]
+        else:
+            rest = gtext
+    if rest.startswith(pdelim):
+        rdelim = ";"
+    else:
+        m = re.match(r"^1H(.)", rest)
+        if m:
+            rdelim = m.group(1)
+    del mm
+
+    # directory entries: two 72-col lines each; field 1 = entity type,
+    # field 2 = parameter data pointer (1-based P line index)
+    entities = []
+    for i in range(0, len(dir_lines) - 1, 2):
+        l1 = dir_lines[i]
+        etype = int(l1[0:8])
+        pstart = int(l1[8:16])
+        entities.append((etype, pstart))
+
+    # parameter section: group lines by their directory back-pointer
+    # (cols 66-72 of P lines), concatenating cols 1-64
+    pdata: dict[int, str] = {}
+    for line in par_lines:
+        dptr = int(line[64:72].replace("P", " ").split()[0]) \
+            if line[64:72].strip() else 0
+        pdata.setdefault(dptr, "")
+        pdata[dptr] += line[:64]
+
+    # directory back-pointer on P lines is the DE index (odd, 1-based)
+    surfs = []
+    for k, (etype, pstart) in enumerate(entities):
+        if etype != 128:
+            continue
+        de_index = 2 * k + 1
+        text = pdata.get(de_index)
+        if text is None:
+            continue
+        toks = _parse_free_format(text, pdelim, rdelim)
+        assert int(_num(toks[0])) == 128
+        K1, K2 = int(_num(toks[1])), int(_num(toks[2]))
+        M1, M2 = int(_num(toks[3])), int(_num(toks[4]))
+        # toks[5:10]: PROP1..5 flags (closed/polynomial/periodic)
+        n1, n2 = K1 + 1, K2 + 1      # control point counts
+        nk1 = n1 + M1 + 1            # knot counts
+        nk2 = n2 + M2 + 1
+        i0 = 10
+        S = np.array([_num(t) for t in toks[i0: i0 + nk1]])
+        i0 += nk1
+        T = np.array([_num(t) for t in toks[i0: i0 + nk2]])
+        i0 += nk2
+        W = np.array([_num(t) for t in toks[i0: i0 + n1 * n2]])
+        i0 += n1 * n2
+        P = np.array([_num(t) for t in toks[i0: i0 + 3 * n1 * n2]])
+        i0 += 3 * n1 * n2
+        # IGES orders control points with the FIRST index fastest:
+        # P(i,j), i = 0..K1 inner, j = 0..K2 outer
+        W = W.reshape(n2, n1).T              # -> (n1, n2)
+        P = P.reshape(n2, n1, 3).transpose(1, 0, 2)
+        ctrl = np.concatenate([P * W[..., None], W[..., None]], axis=-1)
+        surfs.append(NURBS([S, T], ctrl))
+    return surfs

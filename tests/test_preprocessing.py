@@ -1,0 +1,99 @@
+"""CAD pipeline: IGS import + OCC-free intersection computation,
+validated against the reference's own geometry and its OpenCASCADE-
+computed intersection cache (reference files:
+demos_csdl_alpha/thickness_opt/geometry/plate_geometry.igs and
+plate_int_data.npz)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from goldfish_tpu.geometry.igs_io import read_igs_file
+from goldfish_tpu.geometry.preprocessing import (
+    Preprocessor,
+    closest_point_projection,
+)
+
+REF_IGS = ("/root/reference/demos_csdl_alpha/thickness_opt/geometry/"
+           "plate_geometry.igs")
+REF_NPZ = "/root/reference/demos_csdl_alpha/thickness_opt/plate_int_data.npz"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_IGS), reason="reference geometry not mounted")
+
+
+@pytest.fixture(scope="module")
+def plate_surfs():
+    return read_igs_file(REF_IGS)
+
+
+def test_igs_reader(plate_surfs):
+    surfs = plate_surfs
+    assert len(surfs) == 6
+    for s in surfs:
+        assert s.degree == (3, 3)
+        # the plate is flat: z == 0 everywhere
+        assert np.abs(s.points[..., 2]).max() < 1e-12
+    # strips tile [0,1] x [0,1]
+    los = np.array([s.bounds()[0] for s in surfs])
+    his = np.array([s.bounds()[1] for s in surfs])
+    assert np.isclose(los[:, 0].min(), 0.0) and np.isclose(
+        his[:, 0].max(), 1.0)
+
+
+def test_closest_point_projection(plate_surfs):
+    s = plate_surfs[2]
+    rng = np.random.default_rng(0)
+    uv = rng.uniform(0.1, 0.9, size=(20, 2))
+    X = np.stack([s.evaluate(np.array([u]), np.array([v]))[0, 0]
+                  for u, v in uv])
+    uvp, dist = closest_point_projection(s, X)
+    assert dist.max() < 1e-10
+
+
+def test_compute_intersections_matches_occ_cache(plate_surfs):
+    pre = Preprocessor(plate_surfs).compute_intersections(
+        rtol=1e-4, mortar_refine=2)
+    ref = np.load(REF_NPZ, allow_pickle=True)
+    assert pre.num_intersections == int(ref["name1"]) == 5
+    assert [list(m) for m in ref["name2"]] == pre.mapping_list
+    # physical curves must coincide with OCC's: point-to-polyline
+    # distance (sampling densities differ)
+    def poly_dist(P, Q):
+        a, b = Q[:-1], Q[1:]
+        ab = b - a
+        t = np.clip(((P[:, None, :] - a[None]) * ab[None]).sum(-1)
+                    / (ab * ab).sum(-1)[None], 0, 1)
+        proj = a[None] + t[..., None] * ab[None]
+        return np.linalg.norm(P[:, None] - proj, axis=-1).min(1)
+
+    for i in range(5):
+        ours = pre.intersections_phy_coords[i]
+        theirs = np.asarray(ref["name3"][i])
+        d = poly_dist(ours, theirs)
+        assert d.max() < 1e-6, (i, d.max())
+        # endpoints exact (full-length intersection)
+        assert np.allclose(sorted([ours[0, 1], ours[-1, 1]]), [0.0, 1.0],
+                           atol=1e-8)
+
+
+def test_cache_roundtrip(tmp_path, plate_surfs):
+    pre = Preprocessor(plate_surfs).compute_intersections(
+        rtol=1e-4, mortar_refine=2)
+    p = str(tmp_path / "cache.npz")
+    pre.save_intersections_data(p)
+    pre2 = Preprocessor(plate_surfs).load_intersections_data(p)
+    assert pre2.num_intersections == pre.num_intersections
+    assert pre2.mapping_list == pre.mapping_list
+    for a, b in zip(pre.intersections_para_coords,
+                    pre2.intersections_para_coords):
+        assert np.allclose(a[0], b[0]) and np.allclose(a[1], b[1])
+
+
+def test_load_reference_cache(plate_surfs):
+    pre = Preprocessor(plate_surfs).load_intersections_data(REF_NPZ)
+    assert pre.num_intersections == 5
+    specs = pre.interface_specs()
+    assert len(specs) == 5
+    assert all(t == "edge" for t in pre.intersections_type)

@@ -1,0 +1,78 @@
+"""Moving-intersection system: physics consistency with the static
+path + FULL-CHAIN shape-gradient parity (CP -> xi -> d -> J), the
+rebuild's answer to the reference's entire shape_opt_mint machinery
+(SURVEY.md section 3.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from goldfish_tpu.models import tbeam
+from goldfish_tpu.physics import kl_shell
+from goldfish_tpu.physics.coupling import InterfaceSpec
+from goldfish_tpu.solver.system_mi import MINonMatchingSystem
+
+
+def _mi_tbeam(num_el=4, p=3, n_pts=17):
+    w2 = tbeam.WIDTH / 2
+    pts0 = [[-w2, 0, 0], [w2, 0, 0], [-w2, tbeam.LENGTH, 0],
+            [w2, tbeam.LENGTH, 0]]
+    pts1 = [[0, 0, 0], [0, 0, -tbeam.DEPTH], [0, tbeam.LENGTH, 0],
+            [0, tbeam.LENGTH, -tbeam.DEPTH]]
+    srf0 = tbeam.create_surf(pts0, max(num_el // 2, 1), num_el, p)
+    srf1 = tbeam.create_surf(pts1, max((num_el + 1) // 2, 1), num_el + 1, p)
+    specs = [InterfaceSpec(
+        pair=(0, 1),
+        xi_ends_A=np.array([[0.5, 0.0], [0.5, 1.0]]),
+        xi_ends_B=np.array([[0.0, 0.0], [0.0, 1.0]]),
+        n_mortar_el=n_pts - 1)]
+    sys = MINonMatchingSystem([srf0, srf1], tbeam.E, tbeam.NU, tbeam.H_TH,
+                              specs=specs, n_pts_list=[n_pts])
+    sys.add_side_bc(0, direction=1, side=0, n_layers=1)
+    sys.add_side_bc(1, direction=1, side=0, n_layers=1)
+    sys.add_point_load(0, [1.0, 1.0], [0.0, 0.0, 10.0])
+    return sys
+
+
+@pytest.fixture(scope="module")
+def mi_sys():
+    return _mi_tbeam()
+
+
+def test_mi_matches_static_coupling(mi_sys):
+    """At the reference configuration the MI solve must agree with the
+    fixed-intersection solve (different interface quadrature -> small
+    tolerance)."""
+    static = tbeam.build(num_el=4, p=3)
+    d_static = static.solve_nonlinear(rtol=1e-11)
+    u_static = static.evaluate_displacement(d_static, 0, [1.0, 1.0])
+
+    d_mi = mi_sys.solve_nonlinear(rtol=1e-11)
+    u_mi = mi_sys.evaluate_displacement(d_mi, 0, [1.0, 1.0])
+    assert abs(u_mi[2] - u_static[2]) / abs(u_static[2]) < 2e-2, (
+        u_mi[2], u_static[2])
+
+
+def test_full_chain_shape_gradient(mi_sys):
+    """d/d(amp) of strain energy where amp bends the web, moving the
+    intersection: AD through BOTH implicit solves vs central FD."""
+    sys = mi_sys
+    forward = sys.build_forward(rtol=1e-11, max_it=25)
+    d0 = sys.zero_displacement()
+    m = sys.metas[1]
+    gv = sys.surfs[1].greville_points(1)
+    bend = jnp.asarray(np.tile(np.sin(np.pi * gv)[None, :],
+                               (m.n_u, 1)).ravel())
+
+    def J(amp):
+        cp = sys.cp.at[1, : m.n_cp, 0].add(amp * bend)
+        d, xi = forward(cp, sys.h_init, d0)
+        return kl_shell.internal_energy(sys.stack, d, cp, sys.h_init,
+                                        sys.E, sys.nu)
+
+    amp0 = jnp.asarray(0.05)
+    g = jax.grad(J)(amp0)
+    eps = 1e-5
+    fd = (J(amp0 + eps) - J(amp0 - eps)) / (2 * eps)
+    assert abs(float(g - fd)) / abs(float(fd)) < 1e-5, (float(g), float(fd))

@@ -42,3 +42,16 @@ def index_dtype():
 # Environment knob: GOLDFISH_TPU_X64=1 enables x64 at import time.
 if os.environ.get("GOLDFISH_TPU_X64", "0") == "1":  # pragma: no cover
     use_x64(True)
+
+# Persistent compilation cache: TPU kernels for the shell pipeline take
+# minutes to build; cache them across processes (XLA hashes the HLO, so
+# stale entries are never reused incorrectly).
+_cache_dir = os.environ.get("GOLDFISH_TPU_CACHE",
+                            os.path.expanduser("~/.cache/goldfish_tpu_xla"))
+if _cache_dir and _cache_dir != "0":  # pragma: no cover
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass

@@ -161,8 +161,23 @@ def follower_pressure_work(stack: PatchStack, d, cp, pressure):
     return jnp.sum(pressure[:, None, None] * dens * stack.wq)
 
 
+def areal_field_work(stack: PatchStack, d, cp, f_coef):
+    """Work of a distributed dead load given as a CP coefficient FIELD
+    f_coef: (P, C, 3) (force density per reference area, interpolated
+    with the displacement basis). This is the aero-coupling input
+    surface: dJ/d f_coef by AD replaces the reference's
+    `set_aero_linear_splines` + `dRIGAdPaero` machinery (reference:
+    GOLDFISH/nonmatching_opt.py:1582-1665)."""
+    X = surface_fields(stack, cp)
+    u = surface_fields(stack, d)
+    f = surface_fields(stack, f_coef)
+    J = jnp.linalg.norm(jnp.cross(X["du"], X["dv"]), axis=-1)
+    fu = jnp.sum(f["v"] * u["v"], -1)
+    return jnp.sum(fu * J * stack.wq)
+
+
 def external_work(stack: PatchStack, d, cp, f_areal=None, point_loads=None,
-                  pressure=None, edge_loads=None):
+                  pressure=None, edge_loads=None, f_field=None):
     W = jnp.zeros(())
     if f_areal is not None:
         W = W + external_work_dead_load(stack, d, cp, f_areal)
@@ -172,4 +187,6 @@ def external_work(stack: PatchStack, d, cp, f_areal=None, point_loads=None,
         W = W + follower_pressure_work(stack, d, cp, pressure)
     if edge_loads is not None:
         W = W + edge_load_work(edge_loads, d, cp)
+    if f_field is not None:
+        W = W + areal_field_work(stack, d, cp, f_field)
     return W

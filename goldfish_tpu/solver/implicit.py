@@ -93,11 +93,11 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
         return linear_solve(K, -r.reshape(-1)).reshape(r.shape)
 
     def cond(state):
-        d, it, rnorm, done = state
+        d, it, rnorm, done, best, stall = state
         return (it < max_it) & (~done) & (rnorm > atol) & (rnorm > rtol * r_ref)
 
     def body(state):
-        d, it, _, _ = state
+        d, it, _, _, best, stall = state
         r = residual(data, d, cp, h)
         delta = direction(d, r) * data.free
 
@@ -121,10 +121,20 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
             ls_cond, ls_body, (jnp.asarray(1.0, dtype=d0.dtype), jnp.int32(0)))
         d = d + alpha * delta
         rnew = jnp.linalg.norm(residual(data, d, cp, h))
-        return d, it + 1, rnew, done
+        # Energy-stagnation guard: inexact (f32) directions can floor
+        # the residual above rtol while the line search keeps accepting
+        # sub-resolution steps. Energy decrease is monotone under
+        # Armijo, so 3 consecutive below-resolution decreases = floored.
+        Pi_new = total_potential(data, d, cp, h)
+        no_progress = Pi_new >= Pi0 - 64 * eps * jnp.abs(Pi0)
+        stall = jnp.where(no_progress, stall + 1, jnp.int32(0))
+        best = jnp.minimum(best, rnew)
+        done = done | (stall >= 3)
+        return d, it + 1, rnew, done, best, stall
 
-    d, it, rn, _ = jax.lax.while_loop(
-        cond, body, (d0, jnp.int32(0), r0n, jnp.asarray(False)))
+    d, it, rn, *_ = jax.lax.while_loop(
+        cond, body,
+        (d0, jnp.int32(0), r0n, jnp.asarray(False), r0n, jnp.int32(0)))
     return d, it, rn
 
 

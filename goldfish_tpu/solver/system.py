@@ -63,6 +63,8 @@ class SystemData(NamedTuple):
     point_loads: PointLoads | None
     pressure: jnp.ndarray | None   # (P,) follower pressure or None
     edge_loads: EdgeLoads | None
+    f_field: jnp.ndarray | None    # (P, C, 3) distributed-load coefficient
+                                   # field (aero coupling input) or None
 
 
 def total_potential(data: SystemData, d, cp, h):
@@ -71,7 +73,7 @@ def total_potential(data: SystemData, d, cp, h):
     W = W + penalty_energy(data.ifs, d, cp, h, data.E)
     W = W - external_work(data.stack, d, cp, data.f_areal,
                           data.point_loads, data.pressure,
-                          data.edge_loads)
+                          data.edge_loads, data.f_field)
     return W
 
 
@@ -188,6 +190,7 @@ class NonMatchingSystem:
         self.point_load_entries = []
         self.edge_load_entries = []
         self.pressure = None
+        self.f_field = None
         self._data = None
 
     # -------------------------------------------------- BCs and loads
@@ -223,6 +226,12 @@ class NonMatchingSystem:
             (patch, direction, side, np.asarray(force)))
         self._data = None
 
+    def set_areal_field(self, f_coef):
+        """Distributed load as a (P, C, 3) CP coefficient field (the
+        aero-pressure coupling input; see loads.areal_field_work)."""
+        self.f_field = jnp.asarray(f_coef, dtype=self.dtype)
+        self._data = None
+
     def set_pressure(self, p_per_patch):
         self.pressure = jnp.broadcast_to(
             jnp.asarray(p_per_patch, dtype=self.dtype), (self.num_splines,))
@@ -248,6 +257,7 @@ class NonMatchingSystem:
                 point_loads=pl,
                 pressure=self.pressure,
                 edge_loads=el,
+                f_field=self.f_field,
             )
         return self._data
 

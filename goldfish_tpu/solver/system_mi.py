@@ -49,7 +49,8 @@ def total_potential_mi(data: SystemData, mi, co, ss, p, q, d, cp, h, xi):
     W = kl_shell.internal_energy(data.stack, d, cp, h, data.E, data.nu)
     W = W + penalty_energy_mi(ss, p, q, mi, co, xi, d, cp, h, data.E)
     W = W - external_work(data.stack, d, cp, data.f_areal,
-                          data.point_loads, data.pressure, data.edge_loads)
+                          data.point_loads, data.pressure, data.edge_loads,
+                          data.f_field)
     return W
 
 
@@ -121,11 +122,11 @@ def newton_solve_mi(data, mi, co, ss, p, q, cp, h, xi, d0, rtol=1e-10,
         return linear_solve(K, -r.reshape(-1)).reshape(r.shape)
 
     def cond(state):
-        d, it, rnorm, done = state
+        d, it, rnorm, done, best, stall = state
         return (it < max_it) & (~done) & (rnorm > atol) & (rnorm > rtol * r_ref)
 
     def body(state):
-        d, it, _, _ = state
+        d, it, _, _, best, stall = state
         r = res(d)
         delta = direction(d, r) * data.free
         Pi0 = Pi(d)
@@ -142,10 +143,18 @@ def newton_solve_mi(data, mi, co, ss, p, q, cp, h, xi, d0, rtol=1e-10,
             ls_cond, lambda s: (0.5 * s[0], s[1] + 1),
             (jnp.asarray(1.0, dtype=d0.dtype), jnp.int32(0)))
         d = d + alpha * delta
-        return d, it + 1, jnp.linalg.norm(res(d)), done
+        rnew = jnp.linalg.norm(res(d))
+        # energy-stagnation guard (see solver/implicit.py)
+        Pi_new = Pi(d)
+        no_progress = Pi_new >= Pi0 - 64 * eps * jnp.abs(Pi0)
+        stall = jnp.where(no_progress, stall + 1, jnp.int32(0))
+        best = jnp.minimum(best, rnew)
+        done = done | (stall >= 3)
+        return d, it + 1, rnew, done, best, stall
 
-    d, it, rn, _ = jax.lax.while_loop(
-        cond, body, (d0, jnp.int32(0), r0n, jnp.asarray(False)))
+    d, it, rn, *_ = jax.lax.while_loop(
+        cond, body,
+        (d0, jnp.int32(0), r0n, jnp.asarray(False), r0n, jnp.int32(0)))
     return d, it, rn
 
 

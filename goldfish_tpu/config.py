@@ -48,10 +48,20 @@ if os.environ.get("GOLDFISH_TPU_X64", "0") == "1":  # pragma: no cover
 # stale entries are never reused incorrectly).
 _cache_dir = os.environ.get("GOLDFISH_TPU_CACHE",
                             os.path.expanduser("~/.cache/goldfish_tpu_xla"))
-if _cache_dir and _cache_dir != "0":  # pragma: no cover
+
+
+def _enable_compile_cache():  # pragma: no cover
+    # TPU/accelerator backends only: XLA:CPU AOT cache entries are
+    # machine-feature-specific and reload unsafely across hosts.
     try:
+        if jax.default_backend() == "cpu":
+            return
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+
+
+if _cache_dir and _cache_dir != "0":  # pragma: no cover
+    _enable_compile_cache()

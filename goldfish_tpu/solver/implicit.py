@@ -26,12 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from goldfish_tpu.solver.linalg import (
-    cast_floating,
-    f32_lu_solve,
-    linear_solve,
-    mode,
-)
+from goldfish_tpu.solver.linalg import linear_solve
 from goldfish_tpu.solver.system import (
     SystemData,
     assemble_K,
@@ -76,19 +71,13 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     r_ref = jnp.maximum(jnp.maximum(r_ref, r0n * 1e-6), 1e-300)
     eps = jnp.finfo(d0.dtype).eps
 
-    # On TPU ('mixed' mode) the tangent is assembled and factored in
-    # native f32 — residuals and energies stay in the working dtype, so
-    # solution accuracy is unaffected; only the Newton DIRECTION is
-    # inexact, which the line search absorbs. On CPU this is a no-op.
-    mixed = mode() == "mixed"
-    if mixed:
-        data_K = cast_floating(data, jnp.float32)
-        cp_K, h_K = cp.astype(jnp.float32), h.astype(jnp.float32)
-
+    # Newton directions go through linear_solve: native f64 LU on CPU,
+    # GMRES-IR (f32 LU preconditioner + f64 Krylov on the explicit
+    # tangent) on TPU. A raw f32 factorization direction is NOT viable:
+    # at cond(K) ~ 1e10-1e12 its forward error is O(cond * eps_f32) >> 1
+    # — the "direction" is noise, the energy line search stalls, and the
+    # solve silently returns garbage.
     def direction(d, r):
-        if mixed:
-            K = assemble_K(data_K, d.astype(jnp.float32), cp_K, h_K)
-            return f32_lu_solve(K, -r.reshape(-1)).reshape(r.shape)
         K = assemble_K(data, d, cp, h)
         return linear_solve(K, -r.reshape(-1)).reshape(r.shape)
 

@@ -28,12 +28,7 @@ from goldfish_tpu.physics.coupling_mi import (
     penalty_energy_mi,
 )
 from goldfish_tpu.physics.loads import external_work
-from goldfish_tpu.solver.linalg import (
-    cast_floating,
-    f32_lu_solve,
-    linear_solve,
-    mode,
-)
+from goldfish_tpu.solver.linalg import linear_solve
 from goldfish_tpu.solver.system import (
     NonMatchingSystem,
     SystemData,
@@ -105,19 +100,10 @@ def newton_solve_mi(data, mi, co, ss, p, q, cp, h, xi, d0, rtol=1e-10,
     r_ref = jnp.maximum(jnp.maximum(r_ref, r0n * 1e-6), 1e-300)
     eps = jnp.finfo(d0.dtype).eps
 
-    mixed = mode() == "mixed"
-    if mixed:
-        data32 = cast_floating(data, jnp.float32)
-        mi32 = cast_floating(mi, jnp.float32)
-        co32 = cast_floating(co, jnp.float32)
-        ss32 = cast_floating(ss, jnp.float32)
-        f32 = lambda x: x.astype(jnp.float32)
-
+    # see solver/implicit.py: directions always go through linear_solve
+    # (GMRES-IR on TPU) — raw f32 factorization directions are noise at
+    # shell-tangent conditioning
     def direction(d, r):
-        if mixed:
-            K = assemble_K_mi(data32, mi32, co32, ss32, p, q, f32(d),
-                              f32(cp), f32(h), f32(xi))
-            return f32_lu_solve(K, -r.reshape(-1)).reshape(r.shape)
         K = assemble_K_mi(data, mi, co, ss, p, q, d, cp, h, xi)
         return linear_solve(K, -r.reshape(-1)).reshape(r.shape)
 

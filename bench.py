@@ -36,7 +36,9 @@ def build_workload():
 
     sys_ = wing.build(num_el=6, p=3)
     th = ThicknessFFD(sys_, num_els=(4, 4, 1), p=(2, 2, 1))
-    solve = build_solve_fn(sys_.data, rtol=1e-9, max_it=30)
+    # frozen-tangent Newton: optimizer iterations are warm-started, so
+    # one Hessian assembly per solve suffices (modified Newton)
+    solve = build_solve_fn(sys_.data, rtol=1e-9, max_it=30, freeze_K=True)
     cp = sys_.cp
 
     def opt_iteration(h_ffd, d0):

@@ -26,7 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from goldfish_tpu.solver.linalg import linear_solve
+from goldfish_tpu.solver.linalg import factor, factor_solve, linear_solve
 from goldfish_tpu.solver.system import (
     SystemData,
     assemble_K,
@@ -37,9 +37,9 @@ from goldfish_tpu.solver.system import (
 __all__ = ["newton_solve", "build_solve_fn"]
 
 
-@partial(jax.jit, static_argnames=("max_it",))
+@partial(jax.jit, static_argnames=("max_it", "freeze_K"))
 def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
-                 max_it=30):
+                 max_it=30, freeze_K=False):
     """Fully-jitted damped-Newton solve for the displacement field.
 
     Dense-direct linear solves (small/medium systems; the matrix-free
@@ -77,9 +77,21 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     # at cond(K) ~ 1e10-1e12 its forward error is O(cond * eps_f32) >> 1
     # — the "direction" is noise, the energy line search stalls, and the
     # solve silently returns garbage.
-    def direction(d, r):
-        K = assemble_K(data, d, cp, h)
-        return linear_solve(K, -r.reshape(-1)).reshape(r.shape)
+    #
+    # freeze_K: assemble/factor the tangent ONCE at d0 and reuse it for
+    # every iteration (modified Newton). Hessian assembly dominates the
+    # TPU cost; for warm-started solves inside an optimization loop the
+    # frozen tangent costs one extra (cheap) iteration at most. The
+    # energy line search keeps the frozen direction globally safe.
+    if freeze_K:
+        fac0 = factor(assemble_K(data, d0, cp, h))
+
+        def direction(d, r):
+            return factor_solve(fac0, -r.reshape(-1)).reshape(r.shape)
+    else:
+        def direction(d, r):
+            K = assemble_K(data, d, cp, h)
+            return linear_solve(K, -r.reshape(-1)).reshape(r.shape)
 
     def cond(state):
         d, it, rnorm, done, best, stall = state
@@ -127,7 +139,8 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     return d, it, rn
 
 
-def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30):
+def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
+                   freeze_K=False):
     """Return a differentiable `solve(cp, h, d0) -> d`.
 
     `data` (BCs, quadrature tables, loads) is closed over and treated as
@@ -140,7 +153,7 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30):
     @jax.custom_vjp
     def solve(cp, h, d0):
         d, _, _ = newton_solve(data, cp, h, d0, rtol=rtol, atol=atol,
-                               max_it=max_it)
+                               max_it=max_it, freeze_K=freeze_K)
         return d
 
     def fwd(cp, h, d0):

@@ -283,10 +283,13 @@ def _apply_precond(precond, r):
 
 
 def gmres_solve(data: SystemData, d, cp, h, b, precond, rtol=1e-10,
-                restart=32, maxiter=20):
-    """Preconditioned GMRES on K x = b (shapes (P, C, 3)).
+                restart=32, maxiter=20, n_ir=3):
+    """Preconditioned GMRES on K x = b (shapes (P, C, 3)) with OUTER
+    iterative refinement: the f32 preconditioner noise floors a single
+    GMRES call near ~1e-7 relative; restarting from the exact f64
+    residual (r = b - Kx) recovers full f64 accuracy.
 
-    `precond` is either a (lu, piv) patch-block factorization or a
+    `precond` is either a patch-block factorization or a
     (PairSchwarz, factorization) tuple. Trace-compatible (call from
     inside jit)."""
 
@@ -299,9 +302,14 @@ def gmres_solve(data: SystemData, d, cp, h, b, precond, rtol=1e-10,
     else:
         Mop = lambda r: _apply_precond(precond, r)
 
-    x, _ = jax.scipy.sparse.linalg.gmres(
-        Aop, b, tol=rtol, atol=0.0, restart=restart, maxiter=maxiter,
-        M=Mop, solve_method="batched")
+    x = jnp.zeros_like(b)
+    r = b
+    for _ in range(n_ir):
+        dx, _ = jax.scipy.sparse.linalg.gmres(
+            Aop, r, tol=rtol, atol=0.0, restart=restart, maxiter=maxiter,
+            M=Mop, solve_method="batched")
+        x = x + dx
+        r = b - Aop(x)
     return x, jnp.int32(0)
 
 

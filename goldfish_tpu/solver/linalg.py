@@ -71,6 +71,39 @@ def mixed_solve(K, b, tol=1e-11, restart=32, maxiter=8):
     return dscale * y
 
 
+def factor(K):
+    """Reusable factorization of K (dispatches on mode()).
+
+    'direct': native LU. 'mixed': equilibration + f32 LU + K itself
+    (kept for the f64 GMRES-IR matvecs)."""
+    if mode() == "direct":
+        return ("direct", jax.scipy.linalg.lu_factor(K))
+    Keq, dscale = _equilibrate(K)
+    lu, piv = jax.scipy.linalg.lu_factor(Keq.astype(jnp.float32))
+    return ("mixed", (Keq, dscale, lu, piv))
+
+
+def factor_solve(fac, b, tol=1e-11, restart=32, maxiter=8):
+    """Solve K x = b with a factorization from `factor`."""
+    kind, payload = fac
+    if kind == "direct":
+        return jax.scipy.linalg.lu_solve(payload, b)
+    Keq, dscale, lu, piv = payload
+    beq = dscale * b
+
+    def Aop(y):
+        return Keq @ y
+
+    def Mop(r):
+        y = jax.scipy.linalg.lu_solve((lu, piv), r.astype(jnp.float32))
+        return y.astype(b.dtype)
+
+    y, _ = jax.scipy.sparse.linalg.gmres(
+        Aop, beq, tol=tol, atol=0.0, restart=restart, maxiter=maxiter,
+        M=Mop, solve_method="batched")
+    return dscale * y
+
+
 def linear_solve(K, b, tol=1e-11):
     """Solve K x = b (dense K, single RHS vector b).
 

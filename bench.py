@@ -21,8 +21,8 @@ import time
 
 # CPU float64 baseline for the identical workload (see module docstring).
 # Measured on this build host (GOLDFISH_BENCH_CPU=1 python bench.py),
-# median of 5 iterations after compile/warm-up.
-CPU_BASELINE_S = 7.44
+# median of 5 iterations after compile/warm-up, frozen-tangent Newton.
+CPU_BASELINE_S = 19.6
 
 
 def build_workload():

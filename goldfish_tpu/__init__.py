@@ -1,31 +1,43 @@
 """GOLDFISH-TPU: TPU-native isogeometric Kirchhoff-Love shell optimization.
 
-A ground-up JAX/XLA/Pallas rebuild of the capabilities of
-hanzhao2020/GOLDFISH (Gradient-based Optimization and Large-scale Design
-Framework for Isogeometric SHells): shape and thickness optimization of
-Kirchhoff-Love shell structures built from multiple non-matching
-NURBS/B-spline patches, with analytic adjoint sensitivities.
+A ground-up JAX/XLA rebuild of the capabilities of hanzhao2020/GOLDFISH
+(Gradient-based Optimization and Large-scale Design Framework for
+Isogeometric SHells): shape and thickness optimization of Kirchhoff-Love
+shell structures built from multiple non-matching NURBS/B-spline
+patches, with analytic adjoint sensitivities — including moving
+patch-patch intersections.
 
-Architecture (vs. the reference's FEniCS/PETSc/MPI stack):
+Architecture (vs. the reference's FEniCS/PETSc/OCC/MPI stack):
 
-  - NURBS basis evaluation + per-quadrature-point shell energy are batched
-    JAX computations (padded/stacked over patches) feeding the TPU MXU/VPU;
-    the hot assembly contractions have Pallas kernel implementations.
+  - NURBS basis tables + per-quadrature-point SVK shell energy are
+    batched JAX computations (padded/stacked over patches) on the MXU;
+    a traced Cox-de-Boor evaluator powers the moving-intersection path.
   - Residuals and every Jacobian/adjoint (dR/du, dR/dCP, dR/dh, dR/dxi)
-    come from JAX AD of a single scalar total-energy functional - replacing
-    UFL `derivative` + ~1500 lines of hand-built matrix calculus in the
-    reference (reference: GOLDFISH/nonmatching_opt.py:941-1341).
-  - The blocked PETSc nest-matrix Newton solve becomes a matrix-free
-    Newton-Krylov (CG + batched dense block-Jacobi preconditioner) under
-    jit; small problems use a dense direct path.
-  - MPI data parallelism over patches becomes jax.sharding over a device
-    Mesh (patch axis sharded, psum-reduced energies/gradients).
-  - OpenMDAO / CSDL adapter layers are preserved API-wise via vendored
-    minimal-compatible runtimes in `goldfish_tpu.compat`.
+    are JAX AD of ONE scalar total-potential functional — replacing UFL
+    `derivative` + ~1500 lines of hand-built matrix calculus
+    (reference: GOLDFISH/nonmatching_opt.py:941-1341).
+  - Linear algebra is mixed-precision GMRES-IR (equilibrated f32 LU on
+    the MXU preconditioning f64 Krylov) — the MUMPS replacement; large
+    models use matrix-free Newton-Krylov with a colored multiplicative
+    pair-Schwarz preconditioner.
+  - MPI patch distribution becomes jax.sharding over a device Mesh.
+  - Host-side CAD (IGES import, surface-surface intersections) is
+    OCC-free: a C++ geometry kernel (native/) with a numpy fallback.
+  - Thin OpenMDAO / CSDL adapter layers preserve the reference's
+    component APIs (optional dependencies).
 """
 
 __version__ = "0.1.0"
 
 from goldfish_tpu import config  # noqa: F401
+from goldfish_tpu.geometry import cadkit  # noqa: F401
+from goldfish_tpu.geometry.nurbs import NURBS  # noqa: F401
+from goldfish_tpu.ops import bspline, quadrature, refine  # noqa: F401
+from goldfish_tpu.physics import coupling, kl_shell, loads  # noqa: F401
+from goldfish_tpu.solver.system import (  # noqa: F401
+    NonMatchingSystem,
+    SystemData,
+)
 
-__all__ = ["config", "__version__"]
+__all__ = ["config", "NURBS", "NonMatchingSystem", "SystemData",
+           "__version__"]

@@ -18,7 +18,8 @@ import numpy as np
 from goldfish_tpu.design.ffd import FFDBlock, create_3D_block
 from goldfish_tpu.geometry.patch_stack import PatchMeta
 
-__all__ = ["CPLayout", "ThicknessFFD", "ShapeFFD"]
+__all__ = ["CPLayout", "ThicknessFFD", "ShapeFFD", "MultiThicknessFFD",
+           "MultiShapeFFD"]
 
 
 class CPLayout:
@@ -122,4 +123,104 @@ class ShapeFFD:
         for a, f in enumerate(self.opt_fields):
             vals = self.F @ p_ffd_flat[a * n:(a + 1) * n]
             cp = cp.at[..., f].set(self.layout.to_padded(vals))
+        return cp
+
+
+class _MultiFFDBase:
+    """Shared machinery for multi-block FFD: each block controls a
+    subset of patches (reference: `set_shopt_multiFFD` /
+    `set_thopt_multiFFD`, GOLDFISH/nonmatching_opt_ffd.py:184-428,
+    534-685). Design vector = concatenation of all blocks' coefficient
+    vectors; each block's evaluation matrix acts on its patches' rows of
+    the flat CP vector."""
+
+    def __init__(self, system, groups):
+        """groups: list of dicts with keys
+        'patches' (indices), 'num_els', 'p', optional 'lims'."""
+        metas = system.metas
+        self.layout = CPLayout(metas, system.stack.max_cp)
+        self.blocks = []
+        self.Fs = []
+        self.rows = []       # flat CP row indices per group
+        self.sizes = []
+        self.shapes = []
+        for g in groups:
+            pts = np.concatenate(
+                [metas[i].surf.points.reshape(-1, 3)
+                 for i in g["patches"]], axis=0)
+            rows = np.concatenate(
+                [np.arange(self.layout.offsets[i],
+                           self.layout.offsets[i + 1])
+                 for i in g["patches"]])
+            lims = g.get("lims")
+            if lims is None:
+                lo, hi = pts.min(0), pts.max(0)
+                pad = 1e-6 * np.maximum(hi - lo, 1.0)
+                lims = np.stack([lo - pad, hi + pad], axis=1)
+            block = create_3D_block(g["num_els"], g["p"], lims)
+            ffd = FFDBlock(block, pts)
+            self.blocks.append(ffd)
+            self.Fs.append(jnp.asarray(ffd.F))
+            self.rows.append(jnp.asarray(rows, dtype=jnp.int32))
+            self.sizes.append(ffd.n_ffd)
+            self.shapes.append(ffd.shape)
+        self.offsets = np.cumsum([0] + self.sizes)
+        self.n_design = int(self.offsets[-1])
+
+    def _flat_field(self, x, per_block_fn):
+        """Assemble a flat (n_flat,) field from block coefficients."""
+        out = jnp.zeros(self.layout.n_flat, dtype=x.dtype)
+        for k, (F, rows) in enumerate(zip(self.Fs, self.rows)):
+            xk = per_block_fn(x, k)
+            out = out.at[rows].set(F @ xk)
+        return out
+
+
+class MultiThicknessFFD(_MultiFFDBase):
+    """Concatenated per-block thickness coefficients -> padded (P, C)."""
+
+    def init_h_ffd(self, h0) -> np.ndarray:
+        return np.full(self.n_design, float(h0))
+
+    def __call__(self, x):
+        flat = self._flat_field(
+            x, lambda xx, k: xx[self.offsets[k]: self.offsets[k + 1]])
+        return self.layout.to_padded(flat)
+
+
+class MultiShapeFFD(_MultiFFDBase):
+    """Concatenated per-block, per-field coefficients -> (P, C, 3).
+
+    Design layout: [block0_field_a, block0_field_b, ..., block1_...].
+    """
+
+    def __init__(self, system, groups, opt_fields=(0, 1, 2)):
+        super().__init__(system, groups)
+        self.opt_fields = tuple(opt_fields)
+        self._cp0 = system.cp
+        self.n_design = self.n_design * len(self.opt_fields)
+
+    def init_p_ffd(self) -> np.ndarray:
+        out = []
+        for k, ffd in enumerate(self.blocks):
+            for f in self.opt_fields:
+                out.append(ffd.p0[:, f])
+        return np.concatenate(out)
+
+    def __call__(self, x):
+        cp = self._cp0
+        nf = len(self.opt_fields)
+        pos = 0
+        for k, (F, rows) in enumerate(zip(self.Fs, self.rows)):
+            for a, f in enumerate(self.opt_fields):
+                xk = x[pos: pos + self.sizes[k]]
+                pos += self.sizes[k]
+                flat = jnp.zeros(self.layout.n_flat, dtype=x.dtype)
+                flat = flat.at[rows].set(F @ xk)
+                upd = self.layout.to_padded(flat)
+                mask = jnp.zeros(self.layout.n_flat, dtype=x.dtype)
+                mask = mask.at[rows].set(1.0)
+                maskp = self.layout.to_padded(mask)
+                cp = cp.at[..., f].set(
+                    jnp.where(maskp > 0, upd, cp[..., f]))
         return cp

@@ -31,10 +31,29 @@ import jax
 import jax.numpy as jnp
 
 from goldfish_tpu.physics import kl_shell
-from goldfish_tpu.solver.system import SystemData, tangent_matvec
+from goldfish_tpu.solver.linalg import cast_floating
+from goldfish_tpu.solver.system import SystemData, assemble_K, tangent_matvec
 
-__all__ = ["patch_block_precond", "PairSchwarz", "gmres_solve",
-           "newton_krylov_solve"]
+__all__ = ["patch_block_precond", "PairSchwarz", "full_f32_precond",
+           "gmres_solve", "newton_krylov_solve"]
+
+
+def full_f32_precond(data: SystemData, d, cp, h):
+    """Equilibrated f32 LU of the FULL tangent, assembled in f32.
+
+    The memory-lean variant of the dense GMRES-IR preconditioner
+    (solver/linalg.py): assembly in f32 costs ~1e-7 relative error in K
+    — irrelevant for a preconditioner — and avoids the (TPU-emulated)
+    f64 Hessian assembly entirely. O(N^2) f32 memory: viable to ~30-50k
+    dofs; beyond that use PairSchwarz.
+    """
+    data32 = cast_floating(data, jnp.float32)
+    K32 = assemble_K(data32, d.astype(jnp.float32),
+                     cp.astype(jnp.float32), h.astype(jnp.float32))
+    dsc = jax.lax.rsqrt(jnp.abs(jnp.diagonal(K32)) + 1e-30)
+    Keq = K32 * dsc[:, None] * dsc[None, :]
+    lu, piv = jax.scipy.linalg.lu_factor(Keq)
+    return ("full", (lu, piv, dsc))
 
 
 def patch_block_precond(data: SystemData, d, cp, h):
@@ -299,6 +318,14 @@ def gmres_solve(data: SystemData, d, cp, h, b, precond, rtol=1e-10,
     if isinstance(precond, tuple) and isinstance(precond[0], PairSchwarz):
         ps, fac = precond
         Mop = lambda r: ps.apply(fac, r, Aop)
+    elif isinstance(precond, tuple) and precond[0] == "full":
+        lu, piv, dsc = precond[1]
+
+        def Mop(r):
+            rf = (dsc.astype(r.dtype)
+                  * r.reshape(-1)).astype(jnp.float32)
+            z = jax.scipy.linalg.lu_solve((lu, piv), rf)
+            return (dsc.astype(r.dtype) * z.astype(r.dtype)).reshape(r.shape)
     else:
         Mop = lambda r: _apply_precond(precond, r)
 
@@ -341,7 +368,7 @@ def newton_krylov_solve(data: SystemData, cp, h, d0, rtol=1e-8,
         if schwarz is not None:
             precond = (schwarz, schwarz.assemble(data, d, cp, h))
         else:
-            precond = patch_block_precond(data, d, cp, h)
+            precond = full_f32_precond(data, d, cp, h)
         delta, _ = gmres_solve(data, d, cp, h, -r, precond, rtol=cg_rtol,
                                restart=32, maxiter=max_cg // 32 + 1)
         delta = delta * data.free

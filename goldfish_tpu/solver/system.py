@@ -65,12 +65,16 @@ class SystemData(NamedTuple):
     edge_loads: EdgeLoads | None
     f_field: jnp.ndarray | None    # (P, C, 3) distributed-load coefficient
                                    # field (aero coupling input) or None
+    contact: "object | None"       # physics.contact.ContactPairs or None
 
 
 def total_potential(data: SystemData, d, cp, h):
-    """Pi = W_int + W_penalty - W_ext (all loads conservative)."""
+    """Pi = W_int + W_penalty + W_contact - W_ext (conservative)."""
+    from goldfish_tpu.physics.contact import contact_energy
+
     W = kl_shell.internal_energy(data.stack, d, cp, h, data.E, data.nu)
     W = W + penalty_energy(data.ifs, d, cp, h, data.E)
+    W = W + contact_energy(data.contact, data.stack, d, cp)
     W = W - external_work(data.stack, d, cp, data.f_areal,
                           data.point_loads, data.pressure,
                           data.edge_loads, data.f_field)
@@ -191,6 +195,7 @@ class NonMatchingSystem:
         self.edge_load_entries = []
         self.pressure = None
         self.f_field = None
+        self.contact = None
         self._data = None
 
     # -------------------------------------------------- BCs and loads
@@ -226,6 +231,14 @@ class NonMatchingSystem:
             (patch, direction, side, np.asarray(force)))
         self._data = None
 
+    def set_contact(self, pairs, k_pen, r_max):
+        """Enable shell-shell contact between patch pairs (the
+        reference's ShellContactContext hook; physics/contact.py)."""
+        from goldfish_tpu.physics.contact import build_contact
+
+        self.contact = build_contact(pairs, k_pen, r_max, dtype=self.dtype)
+        self._data = None
+
     def set_areal_field(self, f_coef):
         """Distributed load as a (P, C, 3) CP coefficient field (the
         aero-pressure coupling input; see loads.areal_field_work)."""
@@ -258,6 +271,7 @@ class NonMatchingSystem:
                 pressure=self.pressure,
                 edge_loads=el,
                 f_field=self.f_field,
+                contact=self.contact,
             )
         return self._data
 

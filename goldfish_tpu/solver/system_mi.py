@@ -41,8 +41,11 @@ __all__ = ["MINonMatchingSystem", "total_potential_mi", "residual_mi",
 
 
 def total_potential_mi(data: SystemData, mi, co, ss, p, q, d, cp, h, xi):
+    from goldfish_tpu.physics.contact import contact_energy
+
     W = kl_shell.internal_energy(data.stack, d, cp, h, data.E, data.nu)
     W = W + penalty_energy_mi(ss, p, q, mi, co, xi, d, cp, h, data.E)
+    W = W + contact_energy(data.contact, data.stack, d, cp)
     W = W - external_work(data.stack, d, cp, data.f_areal,
                           data.point_loads, data.pressure, data.edge_loads,
                           data.f_field)

@@ -44,13 +44,16 @@ def write_structured_vtk(path, points, point_data=None):
         lines.append(f"POINT_DATA {n}")
         for name, arr in point_data.items():
             a = np.asarray(arr, dtype=np.float64)
-            if a.ndim == 2:
-                a = a[:, :, None]
-            if a.shape[-1] == 3 and a.ndim == 4:
+            is_vector = a.shape[-1] == 3 and a.ndim >= 3
+            if is_vector:
+                if a.ndim == 3:  # (nu, nv, 3) -> (nu, nv, 1, 3)
+                    a = a[:, :, None, :]
                 flat = a.transpose(2, 1, 0, 3).reshape(-1, 3)
                 lines.append(f"VECTORS {name} double")
                 lines += [" ".join(f"{x:.16g}" for x in r) for r in flat]
             else:
+                if a.ndim == 2:  # (nu, nv) -> (nu, nv, 1)
+                    a = a[:, :, None]
                 flat = a.transpose(2, 1, 0).reshape(-1)
                 lines += [f"SCALARS {name} double 1",
                           "LOOKUP_TABLE default"]

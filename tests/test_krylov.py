@@ -48,8 +48,7 @@ def test_newton_krylov_matches_dense_newton():
                                  sys.zero_displacement(), rtol=1e-11)
     d_mf, it, rn = newton_krylov_solve(sys.data, sys.cp, sys.h_init,
                                        sys.zero_displacement(), rtol=1e-9,
-                                       cg_rtol=1e-8,
-                                       schwarz=PairSchwarz(sys.data))
+                                       cg_rtol=1e-8)
     # compare physically: tip displacement agreement (dof-wise error is
     # cond-amplified and not meaningful between two converged solves)
     err = float(jnp.linalg.norm(d_mf - d_dense)

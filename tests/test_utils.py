@@ -1,0 +1,70 @@
+"""Auxiliary subsystems: VTK IO roundtrip, checkpoint/resume, profiler."""
+
+import os
+import sys
+
+import numpy as np
+
+from goldfish_tpu.models import tbeam
+from goldfish_tpu.utils.checkpoint import Checkpointer
+from goldfish_tpu.utils.profiling import Profiler
+from goldfish_tpu.utils.vtk_io import SurfaceWriter, write_structured_vtk
+
+
+def test_vtk_roundtrip(tmp_path):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "visualization"))
+    from view_results import read_structured_vtk
+
+    pts = np.random.default_rng(0).normal(size=(4, 5, 3))
+    data = {"displacement": np.random.default_rng(1).normal(size=(4, 5, 3)),
+            "thickness": np.abs(np.random.default_rng(2).normal(size=(4, 5)))}
+    p = str(tmp_path / "s.vtk")
+    write_structured_vtk(p, pts, data)
+    dims, rpts, rdata = read_structured_vtk(p)
+    assert dims == (4, 5, 1)
+    # VTK orders x fastest; reader returns flat arrays in file order
+    ref = pts.transpose(1, 0, 2).reshape(-1, 3)
+    assert np.allclose(rpts, ref)
+    refu = data["displacement"].transpose(1, 0, 2).reshape(-1, 3)
+    assert np.allclose(rdata["displacement"], refu)
+
+
+def test_surface_writer(tmp_path):
+    sys_ = tbeam.build(num_el=3, p=2)
+    d = sys_.solve_nonlinear(rtol=1e-8, max_it=10)
+    w = SurfaceWriter(sys_, save_path=str(tmp_path), n_eval=9)
+    w.save(d=np.asarray(d), h=np.asarray(sys_.h_init))
+    files = os.listdir(tmp_path)
+    assert len(files) == 2  # one per patch
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ck = Checkpointer(str(tmp_path / "state.npz"))
+    design = {"h_ffd": np.arange(5.0), "p_z": np.ones((2, 3))}
+    state = np.full((4,), 2.5)
+    ck.save(design, state=state, meta={"iter": 7, "J": 1.25})
+    out = ck.load()
+    assert out is not None
+    d2, s2, meta = out
+    assert np.allclose(d2["h_ffd"], design["h_ffd"])
+    assert np.allclose(d2["p_z"], design["p_z"])
+    assert np.allclose(s2, state)
+    assert meta == {"iter": 7, "J": 1.25}
+
+
+def test_checkpoint_missing(tmp_path):
+    assert Checkpointer(str(tmp_path / "nope.npz")).load() is None
+
+
+def test_profiler():
+    import jax.numpy as jnp
+
+    prof = Profiler()
+    with prof.stage("stage_a") as box:
+        box[0] = jnp.ones(16) * 2
+    with prof.stage("stage_a"):
+        pass
+    s = prof.summary()
+    assert "stage_a" in s and "2" in s
+    assert len(prof.records["stage_a"]) == 2

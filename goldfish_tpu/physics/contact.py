@@ -9,7 +9,10 @@ term of the scalar total potential:
 
     W_c = sum_{pairs (A,B)} sum_{qpA, qpB}
           phi(|x_A - x_B|) dA_A dA_B,
-    phi(r) = k/2 * (r_max - r)^2   for r < r_max, else 0
+    phi(r) = k/6 * (r_max - r)^3   for r < r_max, else 0
+
+(cubic, C^2: a C^1 quadratic potential has a discontinuous Hessian at
+the cutoff that makes Newton crawl through the contact layer)
 
 evaluated between the DEFORMED quadrature points of designated patch
 pairs — fully batched (pairwise distance matrices are MXU-friendly),
@@ -68,5 +71,5 @@ def contact_energy(contact: ContactPairs | None, stack: PatchStack, d, cp):
     d2 = jnp.sum((xa[:, :, None, :] - xb[:, None, :, :]) ** 2, -1)
     r = jnp.sqrt(d2 + 1e-30)
     gap = jnp.maximum(contact.r_max[:, None, None] - r, 0.0)
-    phi = 0.5 * contact.k_pen[:, None, None] * gap * gap
+    phi = (contact.k_pen[:, None, None] / 6.0) * gap * gap * gap
     return jnp.sum(phi * wa[:, :, None] * wb[:, None, :])

@@ -31,10 +31,26 @@ from goldfish_tpu.solver.system import (
     SystemData,
     assemble_K,
     residual,
+    scale_loads,
     total_potential,
 )
 
-__all__ = ["newton_solve", "build_solve_fn"]
+__all__ = ["newton_solve", "continuation_solve", "build_solve_fn"]
+
+
+def continuation_solve(data: SystemData, cp, h, d0, n_steps=5, rtol=1e-10,
+                       atol=1e-14, max_it=30, freeze_K=False):
+    """Load-stepped Newton: ramp all external loads in n_steps
+    increments, warm-starting each level — the robust path for contact
+    and post-buckling-adjacent problems.
+
+    Returns (d, its_last, rn_last)."""
+    d = d0
+    for k in range(1, n_steps + 1):
+        data_s = scale_loads(data, k / n_steps)
+        d, it, rn = newton_solve(data_s, cp, h, d, rtol=rtol, atol=atol,
+                                 max_it=max_it, freeze_K=freeze_K)
+    return d, it, rn
 
 
 @partial(jax.jit, static_argnames=("max_it", "freeze_K"))

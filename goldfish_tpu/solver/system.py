@@ -87,6 +87,21 @@ def residual(data: SystemData, d, cp, h):
     return r * data.free
 
 
+def scale_loads(data: SystemData, s):
+    """Scale every external load by s (for load-stepping/continuation;
+    stiff contact and strongly nonlinear shells need it, exactly like
+    the reference's PETSc Newton would)."""
+    return data._replace(
+        f_areal=None if data.f_areal is None else s * data.f_areal,
+        pressure=None if data.pressure is None else s * data.pressure,
+        f_field=None if data.f_field is None else s * data.f_field,
+        point_loads=None if data.point_loads is None
+        else data.point_loads._replace(F=s * data.point_loads.F),
+        edge_loads=None if data.edge_loads is None
+        else data.edge_loads._replace(F=s * data.edge_loads.F),
+    )
+
+
 def tangent_matvec(data: SystemData, d, cp, h, v):
     """Matrix-free K @ v in the working dtype (exact Hessian-vector
     product through the potential; BC-masked both sides). The TPU

@@ -40,14 +40,18 @@ def build_workload():
     # one Hessian assembly per solve suffices (modified Newton)
     solve = build_solve_fn(sys_.data, rtol=1e-9, max_it=30, freeze_K=True)
     cp = sys_.cp
+    energy = jax.jit(kl_shell.internal_energy)
 
     def opt_iteration(h_ffd, d0):
         h = th(h_ffd)
         d = solve(cp, h, d0)
-        J = kl_shell.internal_energy(sys_.stack, d, cp, h, sys_.E, sys_.nu)
+        J = energy(sys_.stack, d, cp, h, sys_.E, sys_.nu)
         return J, d
 
-    vg = jax.jit(jax.value_and_grad(opt_iteration, has_aux=True))
+    # NO outer jit: the inner kernels are jitted with their data as
+    # arguments; an outer jit would capture the system arrays as f64
+    # closure constants, which the axon TPU backend corrupts (CLAUDE.md)
+    vg = jax.value_and_grad(opt_iteration, has_aux=True)
     h0 = jnp.asarray(th.init_h_ffd(wing.H_TH))
     d0 = sys_.zero_displacement()
     n_dofs = sys_.num_splines * sys_.stack.max_cp * 3

@@ -126,6 +126,84 @@ def _residual_one(ss: SurfSet, p, q, cp, iA, iB, n, mask, end_dir, end_val,
     return jnp.concatenate([b1, b2, b3])
 
 
+def _mi_args(mi: MovingIntersections):
+    return (mi.pairA, mi.pairB, mi.n_pts, mi.mask, mi.end_dir,
+            mi.end_val, mi.xi0)
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
+def _c2x_res(ss, mi, cp, x, *, p, q):
+    def res_one(iA, iB, n, mask, ed, ev, xi0, xx):
+        return _residual_one(ss, p, q, cp, iA, iB, n, mask, ed, ev,
+                             xi0, xx)
+
+    return jax.vmap(res_one)(*_mi_args(mi), x)
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
+def _c2x_jac(ss, mi, cp, x, *, p, q):
+    def res_one(iA, iB, n, mask, ed, ev, xi0, xx):
+        return _residual_one(ss, p, q, cp, iA, iB, n, mask, ed, ev,
+                             xi0, xx)
+
+    return jax.vmap(jax.jacfwd(res_one, argnums=7))(*_mi_args(mi), x)
+
+
+@partial(jax.jit, static_argnames=("p", "q", "max_it"))
+def _c2x_newton(ss, mi, cp, x0, *, p, q, rtol=1e-12, max_it=20):
+    """Batched damped Newton over intersections; x: (I, 4N)."""
+
+    def res(x):
+        return _c2x_res.__wrapped__(ss, mi, cp, x, p=p, q=q)
+
+    def jac(x):
+        return _c2x_jac.__wrapped__(ss, mi, cp, x, p=p, q=q)
+
+    def rnorm(x):
+        return jnp.max(jnp.linalg.norm(res(x), axis=-1))
+
+    def cond(state):
+        x, it, rn = state
+        return (it < max_it) & (rn > rtol)
+
+    def body(state):
+        x, it, _ = state
+        r = res(x)
+        J = jac(x)
+        dx = jnp.linalg.solve(J, -r[..., None])[..., 0]
+
+        def ls_cond(s):
+            alpha, j = s
+            rt = res(x + alpha * dx)
+            ok = (jnp.linalg.norm(rt)
+                  <= (1 - 1e-4 * alpha) * jnp.linalg.norm(r))
+            return jnp.logical_not(ok) & (j < 20)
+
+        alpha, _ = jax.lax.while_loop(
+            ls_cond, lambda s: (0.5 * s[0], s[1] + 1),
+            (jnp.asarray(1.0, x.dtype), jnp.int32(0)))
+        x = x + alpha * dx
+        return x, it + 1, rnorm(x)
+
+    x, it, rn = jax.lax.while_loop(cond, body,
+                                   (x0, jnp.int32(0), rnorm(x0)))
+    return x, it, rn
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
+def _c2x_adjoint(ss, mi, cp, x, g, *, p, q):
+    """Implicit-function backward: dR/dxi^T lam = g, dcp = -lam^T dR/dcp."""
+    J = _c2x_jac.__wrapped__(ss, mi, cp, x, p=p, q=q)
+    lam = jnp.linalg.solve(jnp.swapaxes(J, -1, -2), g[..., None])[..., 0]
+
+    def r_of_cp(cp_):
+        return _c2x_res.__wrapped__(ss, mi, cp_, x, p=p, q=q)
+
+    _, vjp = jax.vjp(r_of_cp, cp)
+    (dcp,) = vjp(-lam)
+    return dcp
+
+
 class CPIGA2Xi:
     """Differentiable xi(cp) via batched damped Newton + custom_vjp.
 
@@ -144,65 +222,16 @@ class CPIGA2Xi:
         self.rtol = rtol
         self.max_it = max_it
 
-        ss, p, q, mi = self.ss, self.p, self.q, self.mi
-
-        def res_one(cp, iA, iB, n, mask, ed, ev, xi0, x):
-            return _residual_one(ss, p, q, cp, iA, iB, n, mask, ed, ev,
-                                 xi0, x)
-
-        res_batch = jax.vmap(res_one,
-                             in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))
-        jac_batch = jax.vmap(jax.jacfwd(res_one, argnums=8),
-                             in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))
-
-        def mi_args():
-            return (mi.pairA, mi.pairB, mi.n_pts, mi.mask, mi.end_dir,
-                    mi.end_val, mi.xi0)
-
-        @partial(jax.jit, static_argnames=())
-        def newton(cp, x0):
-            """x: (I, 4N) batched."""
-            args = mi_args()
-
-            def rnorm(x):
-                r = res_batch(cp, *args, x)
-                return jnp.max(jnp.linalg.norm(r, axis=-1))
-
-            def cond(state):
-                x, it, rn = state
-                return (it < max_it) & (rn > rtol)
-
-            def body(state):
-                x, it, _ = state
-                r = res_batch(cp, *args, x)
-                J = jac_batch(cp, *args, x)
-                dx = jnp.linalg.solve(J, -r[..., None])[..., 0]
-
-                # backtracking on the batched residual norm
-                def ls_cond(s):
-                    alpha, j = s
-                    rt = res_batch(cp, *args, x + alpha * dx)
-                    ok = (jnp.linalg.norm(rt)
-                          <= (1 - 1e-4 * alpha) * jnp.linalg.norm(r))
-                    return jnp.logical_not(ok) & (j < 20)
-
-                alpha, _ = jax.lax.while_loop(
-                    ls_cond, lambda s: (0.5 * s[0], s[1] + 1),
-                    (jnp.asarray(1.0, x.dtype), jnp.int32(0)))
-                x = x + alpha * dx
-                return x, it + 1, rnorm(x)
-
-            x, it, rn = jax.lax.while_loop(
-                cond, body, (x0, jnp.int32(0), rnorm(x0)))
-            return x, it, rn
-
-        self._newton = newton
-        self._res_batch = res_batch
-        self._jac_batch = jac_batch
+        # All jitted kernels take (ss, mi, ...) as ARGUMENTS: on the
+        # axon TPU backend, f64 arrays captured as jit closure constants
+        # are corrupted (CLAUDE.md).
+        p, q = self.p, self.q
+        rtol_, max_it_ = rtol, max_it
 
         @jax.custom_vjp
         def solve_xi(cp, x0):
-            x, _, _ = newton(cp, x0)
+            x, _, _ = _c2x_newton(self.ss, self.mi, cp, x0, p=p, q=q,
+                                  rtol=rtol_, max_it=max_it_)
             return x
 
         def fwd(cp, x0):
@@ -211,16 +240,7 @@ class CPIGA2Xi:
 
         def bwd(resids, g):
             cp, x = resids
-            args = mi_args()
-            J = jac_batch(cp, *args, x)  # (I, 4N, 4N)
-            lam = jnp.linalg.solve(
-                jnp.swapaxes(J, -1, -2), g[..., None])[..., 0]
-
-            def r_of_cp(cp_):
-                return res_batch(cp_, *args, x)
-
-            _, vjp = jax.vjp(r_of_cp, cp)
-            (dcp,) = vjp(-lam)
+            dcp = _c2x_adjoint(self.ss, self.mi, cp, x, g, p=p, q=q)
             return dcp, jnp.zeros_like(x)
 
         solve_xi.defvjp(fwd, bwd)
@@ -238,7 +258,5 @@ class CPIGA2Xi:
         return self._solve_xi(cp, x0)
 
     def residual_norm(self, cp, x):
-        args = (self.mi.pairA, self.mi.pairB, self.mi.n_pts, self.mi.mask,
-                self.mi.end_dir, self.mi.end_val, self.mi.xi0)
-        r = self._res_batch(cp, *args, x)
+        r = _c2x_res(self.ss, self.mi, cp, x, p=self.p, q=self.q)
         return float(jnp.max(jnp.linalg.norm(r, axis=-1)))

@@ -155,15 +155,36 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     return d, it, rn
 
 
+@jax.jit
+def adjoint_solve(data: SystemData, d, cp, h, g):
+    """Implicit-function adjoint: K lam = g, then (dcp, dh) = -lam^T
+    dR/d(cp, h). Jitted WITH data as an argument — on the axon TPU
+    backend, f64 arrays captured as closure constants inside a jitted
+    graph are corrupted (see CLAUDE.md), so every kernel takes its
+    arrays explicitly."""
+    K = assemble_K(data, d, cp, h)  # symmetric -> adjoint == tangent
+    lam = linear_solve(K, (g * data.free).reshape(-1)).reshape(g.shape)
+    lam = lam * data.free
+    _, vjp = jax.vjp(lambda cp_, h_: residual(data, d, cp_, h_), cp, h)
+    dcp, dh = vjp(-lam)
+    return dcp, dh
+
+
 def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
                    freeze_K=False):
     """Return a differentiable `solve(cp, h, d0) -> d`.
 
-    `data` (BCs, quadrature tables, loads) is closed over and treated as
-    non-differentiable — design variables reach the physics only through
-    `cp` and `h`, exactly the design surface of the reference
-    (CP_IGA per field + thickness; reference:
-    GOLDFISH/om_comps/disp_states_comp.py:30-50).
+    `data` (BCs, quadrature tables, loads) is non-differentiable —
+    design variables reach the physics only through `cp` and `h`,
+    exactly the design surface of the reference (CP_IGA per field +
+    thickness; reference: GOLDFISH/om_comps/disp_states_comp.py:30-50).
+
+    TPU NOTE: do NOT wrap the returned function (or callers of it) in a
+    further jax.jit on the axon backend — the inner kernels are already
+    jitted with their data as arguments; an outer jit would inline them
+    and capture `data` as closure constants, which that backend
+    corrupts (f64 closure-constant bug, CLAUDE.md). Eager composition
+    of jitted kernels is the supported TPU path; CPU tolerates either.
     """
 
     @jax.custom_vjp
@@ -178,12 +199,7 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
 
     def bwd(res, g):
         d, cp, h = res
-        K = assemble_K(data, d, cp, h)  # symmetric -> adjoint == tangent
-        lam = linear_solve(
-            K, (g * data.free).reshape(-1)).reshape(g.shape)
-        lam = lam * data.free
-        _, vjp = jax.vjp(lambda cp_, h_: residual(data, d, cp_, h_), cp, h)
-        dcp, dh = vjp(-lam)
+        dcp, dh = adjoint_solve(data, d, cp, h, g)
         return dcp, dh, jnp.zeros_like(d)
 
     solve.defvjp(fwd, bwd)

@@ -147,12 +147,27 @@ def newton_solve_mi(data, mi, co, ss, p, q, cp, h, xi, d0, rtol=1e-10,
     return d, it, rn
 
 
+@partial(jax.jit, static_argnames=("p", "q"))
+def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g):
+    """Jitted MI adjoint with all arrays as arguments (axon f64
+    closure-constant bug, CLAUDE.md)."""
+    K = assemble_K_mi(data, mi, co, ss, p, q, d, cp, h, xi)
+    lam = linear_solve(K, (g * data.free).reshape(-1)).reshape(g.shape)
+    lam = lam * data.free
+    _, vjp = jax.vjp(
+        lambda cp_, h_, xi_: residual_mi(
+            data, mi, co, ss, p, q, d, cp_, h_, xi_), cp, h, xi)
+    dcp, dh, dxi = vjp(-lam)
+    return dcp, dh, dxi
+
+
 def build_solve_fn_mi(data, mi, co, ss, p, q, rtol=1e-10, atol=1e-14,
                       max_it=30):
     """Differentiable solve(cp, h, xi, d0) -> d; the adjoint vjps through
     the residual deliver dR/dcp, dR/dh AND dR/dxi (the reference's
     hardest hand-derived matrix, GOLDFISH/nonmatching_opt.py:1042-1341)
-    automatically."""
+    automatically. TPU note: compose eagerly (see
+    solver/implicit.build_solve_fn)."""
 
     @jax.custom_vjp
     def solve(cp, h, xi, d0):
@@ -166,13 +181,8 @@ def build_solve_fn_mi(data, mi, co, ss, p, q, rtol=1e-10, atol=1e-14,
 
     def bwd(resids, g):
         d, cp, h, xi = resids
-        K = assemble_K_mi(data, mi, co, ss, p, q, d, cp, h, xi)
-        lam = linear_solve(K, (g * data.free).reshape(-1)).reshape(g.shape)
-        lam = lam * data.free
-        _, vjp = jax.vjp(
-            lambda cp_, h_, xi_: residual_mi(
-                data, mi, co, ss, p, q, d, cp_, h_, xi_), cp, h, xi)
-        dcp, dh, dxi = vjp(-lam)
+        dcp, dh, dxi = adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h,
+                                        xi, g)
         return dcp, dh, dxi, jnp.zeros_like(d)
 
     solve.defvjp(fwd, bwd)

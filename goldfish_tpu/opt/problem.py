@@ -126,13 +126,20 @@ class OptProblem:
         has_state = self._state0 is not None
         state_box = [self._state0]
 
+        # Outer jit only on CPU: on the axon TPU backend an outer jit
+        # would capture the system arrays as f64 closure constants,
+        # which that backend corrupts (CLAUDE.md); the inner solver
+        # kernels are jitted with explicit arguments either way.
+        maybe_jit = jax.jit if jax.default_backend() == "cpu" \
+            else (lambda f: f)
+
         if has_state:
             def raw(x, state):
                 dvs = self._unflatten(x)
                 J, new_state = self._obj(dvs, state)
                 return self._obj_scaler * J, new_state
 
-            vg = jax.jit(jax.value_and_grad(raw, has_aux=True))
+            vg = maybe_jit(jax.value_and_grad(raw, has_aux=True))
 
             def f_obj(x):
                 (J, new_state), g = vg(jnp.asarray(x), state_box[0])
@@ -142,7 +149,7 @@ class OptProblem:
             def raw(x):
                 return self._obj_scaler * self._obj(self._unflatten(x))
 
-            vg = jax.jit(jax.value_and_grad(raw))
+            vg = maybe_jit(jax.value_and_grad(raw))
 
             def f_obj(x):
                 J, g = vg(jnp.asarray(x))
@@ -150,10 +157,11 @@ class OptProblem:
 
         cons = []
         for c in self._cons:
-            cfn = jax.jit(lambda x, c=c: c.scaler * jnp.atleast_1d(
+            cfn = maybe_jit(lambda x, c=c: c.scaler * jnp.atleast_1d(
                 c.fn(self._unflatten(x))))
-            cjac = jax.jit(jax.jacrev(lambda x, c=c: c.scaler * jnp.atleast_1d(
-                c.fn(self._unflatten(x)))))
+            cjac = maybe_jit(jax.jacrev(
+                lambda x, c=c: c.scaler * jnp.atleast_1d(
+                    c.fn(self._unflatten(x)))))
             if c.equals is not None:
                 t = c.scaler * c.equals
                 cons.append(dict(

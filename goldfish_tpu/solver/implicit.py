@@ -26,7 +26,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from goldfish_tpu.solver.linalg import factor, factor_solve, linear_solve
+from goldfish_tpu.solver.linalg import (
+    factor,
+    factor_solve,
+    linear_solve,
+    mode,
+)
 from goldfish_tpu.solver.system import (
     SystemData,
     assemble_K,
@@ -99,7 +104,28 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     # TPU cost; for warm-started solves inside an optimization loop the
     # frozen tangent costs one extra (cheap) iteration at most. The
     # energy line search keeps the frozen direction globally safe.
-    if freeze_K:
+    #
+    # 'mixed' (TPU) uses the BLOCK operator path (solver/blocks.py):
+    # exact f64 matvecs from unassembled Hessian blocks + f32 dense LU
+    # preconditioner — the dense f64 scatter is ~3x the cost of
+    # computing the blocks themselves on TPU.
+    mixed = mode() == "mixed"
+    if mixed:
+        from goldfish_tpu.solver.blocks import (
+            block_gmres_solve,
+            compute_blocks,
+        )
+
+        if freeze_K:
+            blocks0 = compute_blocks(data, d0, cp, h)
+
+            def direction(d, r):
+                return block_gmres_solve(data, blocks0, -r)
+        else:
+            def direction(d, r):
+                blocks = compute_blocks(data, d, cp, h)
+                return block_gmres_solve(data, blocks, -r)
+    elif freeze_K:
         fac0 = factor(assemble_K(data, d0, cp, h))
 
         def direction(d, r):
@@ -162,8 +188,19 @@ def adjoint_solve(data: SystemData, d, cp, h, g):
     backend, f64 arrays captured as closure constants inside a jitted
     graph are corrupted (see CLAUDE.md), so every kernel takes its
     arrays explicitly."""
-    K = assemble_K(data, d, cp, h)  # symmetric -> adjoint == tangent
-    lam = linear_solve(K, (g * data.free).reshape(-1)).reshape(g.shape)
+    gm = g * data.free
+    if mode() == "mixed":
+        from goldfish_tpu.solver.blocks import (
+            block_gmres_solve,
+            compute_blocks,
+        )
+
+        blocks = compute_blocks(data, d, cp, h)
+        lam = block_gmres_solve(data, blocks, gm)
+    else:
+        K = assemble_K(data, d, cp, h)  # symmetric: adjoint == tangent
+        lam = linear_solve(
+            K, gm.reshape(-1)).reshape(g.shape)
     lam = lam * data.free
     _, vjp = jax.vjp(lambda cp_, h_: residual(data, d, cp_, h_), cp, h)
     dcp, dh = vjp(-lam)

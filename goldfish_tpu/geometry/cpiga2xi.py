@@ -260,3 +260,33 @@ class CPIGA2Xi:
     def residual_norm(self, cp, x):
         r = _c2x_res(self.ss, self.mi, cp, x, p=self.p, q=self.q)
         return float(jnp.max(jnp.linalg.norm(r, axis=-1)))
+
+
+def xi_edge_constraints(mi: MovingIntersections, tol: float = 1e-9):
+    """Edge-type xi constraints (reference: IntXiEdgeComp,
+    GOLDFISH/om_comps/int_xi_edge_comp.py — constraint xi_dof - val = 0
+    with a constant 0/1 Jacobian).
+
+    For every intersection whose initial curve runs along a constant
+    parametric coordinate of side A or B, returns the flat dof indices
+    (into the (I, N, 2, 2)-raveled xi vector) and target values pinning
+    that coordinate for ALL points. Feed to the optimizer as linear
+    equality constraints on the xi design/state vector.
+    """
+    import numpy as np
+
+    xi0 = np.asarray(mi.xi0)
+    n_pts = np.asarray(mi.n_pts)
+    I, N = xi0.shape[0], xi0.shape[1]
+    dofs, vals = [], []
+    for i in range(I):
+        n = int(n_pts[i])
+        for side in (0, 1):
+            for c in (0, 1):
+                col = xi0[i, :n, side, c]
+                if np.all(np.abs(col - col[0]) < tol) and \
+                        (abs(col[0]) < tol or abs(col[0] - 1) < tol):
+                    for k in range(n):
+                        dofs.append(((i * N + k) * 2 + side) * 2 + c)
+                        vals.append(float(col[0]))
+    return np.asarray(dofs, dtype=np.int64), np.asarray(vals)

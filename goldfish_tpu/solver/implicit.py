@@ -40,7 +40,8 @@ from goldfish_tpu.solver.system import (
     total_potential,
 )
 
-__all__ = ["newton_solve", "continuation_solve", "build_solve_fn"]
+__all__ = ["newton_solve", "newton_solve_host", "continuation_solve",
+           "adjoint_solve", "build_solve_fn"]
 
 
 def continuation_solve(data: SystemData, cp, h, d0, n_steps=5, rtol=1e-10,
@@ -182,6 +183,74 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
 
 
 @jax.jit
+def _newton_step_mixed(data: SystemData, cp, h, d):
+    """One damped-Newton step (block-operator direction + energy line
+    search) as a single jitted program. The TPU host-loop solver
+    composes these: the monolithic while_loop Newton program triggers
+    TPU worker crashes at production scale on the axon backend
+    (CLAUDE.md), while the individual step programs are stable."""
+    from goldfish_tpu.solver.blocks import block_gmres_solve, compute_blocks
+
+    eps = jnp.finfo(d.dtype).eps
+    r = residual(data, d, cp, h)
+    blocks = compute_blocks(data, d, cp, h)
+    delta = block_gmres_solve(data, blocks, -r) * data.free
+    Pi0 = total_potential(data, d, cp, h)
+    slope = jnp.sum(r * delta)
+    done_slope = jnp.abs(slope) <= 4.0 * eps * jnp.abs(Pi0) + 1e-300
+
+    def ls_cond(s):
+        alpha, j = s
+        Pi_try = total_potential(data, d + alpha * delta, cp, h)
+        ok = Pi_try <= Pi0 + 1e-4 * alpha * slope + 16 * eps * jnp.abs(Pi0)
+        return jnp.logical_not(ok) & (j < 30) & jnp.logical_not(done_slope)
+
+    alpha, _ = jax.lax.while_loop(
+        ls_cond, lambda s: (0.5 * s[0], s[1] + 1),
+        (jnp.asarray(1.0, dtype=d.dtype), jnp.int32(0)))
+    d_new = d + alpha * delta
+    r_new = jnp.linalg.norm(residual(data, d_new, cp, h))
+    Pi_new = total_potential(data, d_new, cp, h)
+    return d_new, r_new, Pi0, Pi_new, done_slope
+
+
+@jax.jit
+def _residual_norm(data: SystemData, cp, h, d):
+    return jnp.linalg.norm(residual(data, d, cp, h))
+
+
+def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
+                      max_it=30):
+    """Host-driven damped Newton: python loop over jitted step programs
+    (the TPU production forward solve). Same convergence semantics as
+    `newton_solve`."""
+    r_ref = float(_residual_norm(data, cp, h, jnp.zeros_like(d0)))
+    r0n = float(_residual_norm(data, cp, h, d0))
+    r_ref = max(max(r_ref, r0n * 1e-6), 1e-300)
+    eps = float(jnp.finfo(d0.dtype).eps)
+
+    d = d0
+    rn = r0n
+    stall = 0
+    it = 0
+    while (it < max_it and rn > atol and rn > rtol * r_ref):
+        d_new, r_new, Pi0, Pi_new, done_slope = _newton_step_mixed(
+            data, cp, h, d)
+        d = d_new
+        rn = float(r_new)
+        it += 1
+        if bool(done_slope):
+            break
+        if float(Pi_new) >= float(Pi0) - 64 * eps * abs(float(Pi0)):
+            stall += 1
+            if stall >= 3:
+                break
+        else:
+            stall = 0
+    return d, it, rn
+
+
+@jax.jit
 def adjoint_solve(data: SystemData, d, cp, h, g):
     """Implicit-function adjoint: K lam = g, then (dcp, dh) = -lam^T
     dR/d(cp, h). Jitted WITH data as an argument — on the axon TPU
@@ -226,6 +295,12 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
 
     @jax.custom_vjp
     def solve(cp, h, d0):
+        if mode() == "mixed":
+            # host-loop forward (monolithic while_loop Newton programs
+            # crash the axon TPU worker at production scale)
+            d, _, _ = newton_solve_host(data, cp, h, d0, rtol=rtol,
+                                        atol=atol, max_it=max_it)
+            return d
         d, _, _ = newton_solve(data, cp, h, d0, rtol=rtol, atol=atol,
                                max_it=max_it, freeze_K=freeze_K)
         return d

@@ -183,65 +183,75 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
 
 
 @jax.jit
-def _newton_step_mixed(data: SystemData, cp, h, d):
-    """One damped-Newton step (block-operator direction + energy line
-    search) as a single jitted program. The TPU host-loop solver
-    composes these: the monolithic while_loop Newton program triggers
-    TPU worker crashes at production scale on the axon backend
-    (CLAUDE.md), while the individual step programs are stable."""
-    from goldfish_tpu.solver.blocks import block_gmres_solve, compute_blocks
-
-    eps = jnp.finfo(d.dtype).eps
-    r = residual(data, d, cp, h)
-    blocks = compute_blocks(data, d, cp, h)
-    delta = block_gmres_solve(data, blocks, -r) * data.free
-    Pi0 = total_potential(data, d, cp, h)
-    slope = jnp.sum(r * delta)
-    done_slope = jnp.abs(slope) <= 4.0 * eps * jnp.abs(Pi0) + 1e-300
-
-    def ls_cond(s):
-        alpha, j = s
-        Pi_try = total_potential(data, d + alpha * delta, cp, h)
-        ok = Pi_try <= Pi0 + 1e-4 * alpha * slope + 16 * eps * jnp.abs(Pi0)
-        return jnp.logical_not(ok) & (j < 30) & jnp.logical_not(done_slope)
-
-    alpha, _ = jax.lax.while_loop(
-        ls_cond, lambda s: (0.5 * s[0], s[1] + 1),
-        (jnp.asarray(1.0, dtype=d.dtype), jnp.int32(0)))
-    d_new = d + alpha * delta
-    r_new = jnp.linalg.norm(residual(data, d_new, cp, h))
-    Pi_new = total_potential(data, d_new, cp, h)
-    return d_new, r_new, Pi0, Pi_new, done_slope
+def _jit_residual(data: SystemData, cp, h, d):
+    return residual(data, d, cp, h)
 
 
 @jax.jit
-def _residual_norm(data: SystemData, cp, h, d):
-    return jnp.linalg.norm(residual(data, d, cp, h))
+def _jit_potential(data: SystemData, cp, h, d):
+    return total_potential(data, d, cp, h)
+
+
+@jax.jit
+def _jit_blocks(data: SystemData, cp, h, d):
+    from goldfish_tpu.solver.blocks import compute_blocks
+
+    return compute_blocks(data, d, cp, h)
+
+
+@jax.jit
+def _jit_block_solve(data: SystemData, blocks, b):
+    from goldfish_tpu.solver.blocks import block_gmres_solve
+
+    return block_gmres_solve(data, blocks, b)
 
 
 def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
-                      max_it=30):
-    """Host-driven damped Newton: python loop over jitted step programs
-    (the TPU production forward solve). Same convergence semantics as
-    `newton_solve`."""
-    r_ref = float(_residual_norm(data, cp, h, jnp.zeros_like(d0)))
-    r0n = float(_residual_norm(data, cp, h, d0))
-    r_ref = max(max(r_ref, r0n * 1e-6), 1e-300)
+                      max_it=30, verbose=False):
+    """Host-driven damped Newton: python composition of SMALL jitted
+    programs (residual / blocks / block-GMRES / potential), each
+    individually validated on the axon TPU backend. Larger fused
+    programs (a whole Newton step, or the monolithic while_loop solve)
+    trigger worker crashes or silent corruption at production scale on
+    that backend (CLAUDE.md). Same convergence semantics as
+    `newton_solve`; the host line search costs a few extra potential
+    evaluations per iteration."""
+    r0 = _jit_residual(data, cp, h, jnp.zeros_like(d0))
+    r_ref = float(jnp.linalg.norm(r0))
+    r = _jit_residual(data, cp, h, d0)
+    rn = float(jnp.linalg.norm(r))
+    r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
     eps = float(jnp.finfo(d0.dtype).eps)
 
     d = d0
-    rn = r0n
     stall = 0
     it = 0
     while (it < max_it and rn > atol and rn > rtol * r_ref):
-        d_new, r_new, Pi0, Pi_new, done_slope = _newton_step_mixed(
-            data, cp, h, d)
-        d = d_new
-        rn = float(r_new)
+        blocks = _jit_blocks(data, cp, h, d)
+        delta = _jit_block_solve(data, blocks, -r) * data.free
+        Pi0 = float(_jit_potential(data, cp, h, d))
+        slope = float(jnp.sum(r * delta))
+        done_slope = abs(slope) <= 4.0 * eps * abs(Pi0) + 1e-300
+
+        alpha = 1.0
+        if not done_slope:
+            for _ in range(30):
+                Pi_try = float(_jit_potential(data, cp, h,
+                                              d + alpha * delta))
+                if Pi_try <= Pi0 + 1e-4 * alpha * slope \
+                        + 16 * eps * abs(Pi0):
+                    break
+                alpha *= 0.5
+        d = d + alpha * delta
+        r = _jit_residual(data, cp, h, d)
+        rn = float(jnp.linalg.norm(r))
+        Pi_new = float(_jit_potential(data, cp, h, d))
         it += 1
-        if bool(done_slope):
+        if verbose:
+            print(f"  newton(host) it {it}: |r|={rn:.3e} alpha={alpha:g}")
+        if done_slope:
             break
-        if float(Pi_new) >= float(Pi0) - 64 * eps * abs(float(Pi0)):
+        if Pi_new >= Pi0 - 64 * eps * abs(Pi0):
             stall += 1
             if stall >= 3:
                 break

@@ -300,14 +300,20 @@ class NonMatchingSystem:
 
         Mirrors PENGoLINS `solve_nonlinear_nonmatching_problem`
         (SURVEY.md section 3.1 hot loop); delegates to the jitted
-        line-searched loop in solver/implicit.py."""
-        from goldfish_tpu.solver.implicit import newton_solve
+        line-searched loop in solver/implicit.py (host-driven step
+        composition on TPU, see CLAUDE.md)."""
+        from goldfish_tpu.solver.implicit import (
+            newton_solve,
+            newton_solve_host,
+        )
+        from goldfish_tpu.solver.linalg import mode
 
         cp = self.cp if cp is None else cp
         h = self.h_init if h is None else h
         d = self.zero_displacement() if d0 is None else d0
-        d, it, rn = newton_solve(self.data, cp, h, d, rtol=rtol, atol=atol,
-                                 max_it=max_it)
+        solver = newton_solve_host if mode() == "mixed" else newton_solve
+        d, it, rn = solver(self.data, cp, h, d, rtol=rtol, atol=atol,
+                           max_it=max_it)
         if verbose:
             print(f"  newton: {int(it)} its, |r| = {float(rn):.3e}")
         return d

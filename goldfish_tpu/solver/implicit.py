@@ -261,29 +261,31 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
 
 
 @jax.jit
+def _jit_residual_vjp(data: SystemData, d, cp, h, lam):
+    _, vjp = jax.vjp(lambda cp_, h_: residual(data, d, cp_, h_), cp, h)
+    return vjp(-lam)
+
+
+@jax.jit
+def _adjoint_solve_direct(data: SystemData, d, cp, h, g):
+    K = assemble_K(data, d, cp, h)  # symmetric: adjoint == tangent
+    lam = linear_solve(
+        K, (g * data.free).reshape(-1)).reshape(g.shape)
+    lam = lam * data.free
+    return _jit_residual_vjp.__wrapped__(data, d, cp, h, lam)
+
+
 def adjoint_solve(data: SystemData, d, cp, h, g):
     """Implicit-function adjoint: K lam = g, then (dcp, dh) = -lam^T
-    dR/d(cp, h). Jitted WITH data as an argument — on the axon TPU
-    backend, f64 arrays captured as closure constants inside a jitted
-    graph are corrupted (see CLAUDE.md), so every kernel takes its
-    arrays explicitly."""
-    gm = g * data.free
+    dR/d(cp, h). All kernels take their arrays as jit ARGUMENTS (axon
+    f64 closure-constant bug); on TPU the stages run as separate small
+    programs (fused Newton/adjoint programs corrupt or crash at scale
+    on that backend, CLAUDE.md)."""
     if mode() == "mixed":
-        from goldfish_tpu.solver.blocks import (
-            block_gmres_solve,
-            compute_blocks,
-        )
-
-        blocks = compute_blocks(data, d, cp, h)
-        lam = block_gmres_solve(data, blocks, gm)
-    else:
-        K = assemble_K(data, d, cp, h)  # symmetric: adjoint == tangent
-        lam = linear_solve(
-            K, gm.reshape(-1)).reshape(g.shape)
-    lam = lam * data.free
-    _, vjp = jax.vjp(lambda cp_, h_: residual(data, d, cp_, h_), cp, h)
-    dcp, dh = vjp(-lam)
-    return dcp, dh
+        blocks = _jit_blocks(data, cp, h, d)
+        lam = _jit_block_solve(data, blocks, g * data.free) * data.free
+        return _jit_residual_vjp(data, d, cp, h, lam)
+    return _adjoint_solve_direct(data, d, cp, h, g)
 
 
 def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,

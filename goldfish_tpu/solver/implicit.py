@@ -223,12 +223,21 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
     eps = float(jnp.finfo(d0.dtype).eps)
 
+    from goldfish_tpu.solver import hostsolve
+
+    host_direct = hostsolve.enabled()
+
     d = d0
     stall = 0
     it = 0
     while (it < max_it and rn > atol and rn > rtol * r_ref):
         blocks = _jit_blocks(data, cp, h, d)
-        delta = _jit_block_solve(data, blocks, -r) * data.free
+        if host_direct:
+            # production refinement reaches cond ~1e12: beyond any f32
+            # factorization; host f64 LU is the MUMPS-equivalent
+            delta = hostsolve.host_direction(data, blocks, r) * data.free
+        else:
+            delta = _jit_block_solve(data, blocks, -r) * data.free
         Pi0 = float(_jit_potential(data, cp, h, d))
         slope = float(jnp.sum(r * delta))
         done_slope = abs(slope) <= 4.0 * eps * abs(Pi0) + 1e-300
@@ -282,8 +291,14 @@ def adjoint_solve(data: SystemData, d, cp, h, g):
     programs (fused Newton/adjoint programs corrupt or crash at scale
     on that backend, CLAUDE.md)."""
     if mode() == "mixed":
+        from goldfish_tpu.solver import hostsolve
+
         blocks = _jit_blocks(data, cp, h, d)
-        lam = _jit_block_solve(data, blocks, g * data.free) * data.free
+        if hostsolve.enabled():
+            lam = hostsolve.host_direction(
+                data, blocks, -(g * data.free)) * data.free
+        else:
+            lam = _jit_block_solve(data, blocks, g * data.free) * data.free
         return _jit_residual_vjp(data, d, cp, h, lam)
     return _adjoint_solve_direct(data, d, cp, h, g)
 

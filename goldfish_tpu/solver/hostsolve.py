@@ -24,7 +24,27 @@ from goldfish_tpu.solver.blocks import TangentBlocks
 from goldfish_tpu.solver.system import SystemData
 
 __all__ = ["enabled", "host_assemble", "host_factor", "host_solve",
-           "host_direction"]
+           "host_direction", "PersistentHostFactor"]
+
+
+def _get_jit_block_matvec():
+    import jax
+
+    from goldfish_tpu.solver.blocks import block_matvec
+
+    return jax.jit(block_matvec)
+
+
+class _LazyMV:
+    _fn = None
+
+    def __call__(self, data, blocks, x):
+        if _LazyMV._fn is None:
+            _LazyMV._fn = _get_jit_block_matvec()
+        return _LazyMV._fn(data, blocks, x)
+
+
+_jit_block_matvec = _LazyMV()
 
 
 def enabled() -> bool:
@@ -90,3 +110,61 @@ def host_direction(data: SystemData, blocks: TangentBlocks, r):
     import jax.numpy as jnp
 
     return jnp.asarray(x.reshape(np.asarray(r).shape), dtype=r.dtype)
+
+
+class PersistentHostFactor:
+    """Amortized host f64 LU: keep ONE factorization across Newton
+    iterations AND optimizer iterations; every solve is corrected by
+    iterative refinement with EXACT device-side block matvecs at the
+    CURRENT state, so solutions stay exact while the (expensive:
+    device->host block transfer + assemble + factor, ~10 s over the
+    axon tunnel) factorization is reused until the refinement stops
+    converging. Warm-started optimization loops refactor almost never.
+    """
+
+    def __init__(self, data: SystemData, max_ir: int = 8, tol: float = 1e-10):
+        self.data = data
+        self.max_ir = max_ir
+        self.tol = tol
+        self.fac = None
+        self.n_factor = 0
+
+    def refactor(self, blocks: TangentBlocks):
+        self.fac = host_factor(host_assemble(self.data, blocks))
+        self.n_factor += 1
+
+    def solve(self, blocks: TangentBlocks, b):
+        """Solve K(blocks) x = b exactly (IR to self.tol); refactors
+        (at most once per solve) when the stale factor stops
+        contracting."""
+        import jax.numpy as jnp
+
+        if self.fac is None:
+            self.refactor(blocks)
+
+        shape = b.shape
+        bn = float(jnp.linalg.norm(b))
+        if bn == 0.0:
+            return jnp.zeros_like(b)
+        x = jnp.zeros_like(b)
+        r = b
+        prev = float("inf")
+        refactored = False
+        for _ in range(self.max_ir):
+            dx = host_solve(self.fac, np.asarray(r).reshape(-1))
+            x = x + jnp.asarray(dx.reshape(shape), dtype=b.dtype)
+            r = b - _jit_block_matvec(self.data, blocks, x)
+            rel = float(jnp.linalg.norm(r)) / bn
+            if rel < self.tol:
+                return x
+            if rel > 0.5 * prev:  # stale factor no longer contracting
+                if refactored:
+                    break
+                self.refactor(blocks)
+                refactored = True
+                x = jnp.zeros_like(b)
+                r = b
+                prev = float("inf")
+                continue
+            prev = rel
+        return x

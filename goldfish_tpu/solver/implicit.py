@@ -207,7 +207,7 @@ def _jit_block_solve(data: SystemData, blocks, b):
 
 
 def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
-                      max_it=30, verbose=False):
+                      max_it=30, verbose=False, host_fac=None):
     """Host-driven damped Newton: python composition of SMALL jitted
     programs (residual / blocks / block-GMRES / potential), each
     individually validated on the axon TPU backend. Larger fused
@@ -226,6 +226,8 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     from goldfish_tpu.solver import hostsolve
 
     host_direct = hostsolve.enabled()
+    if host_direct and host_fac is None:
+        host_fac = hostsolve.PersistentHostFactor(data)
 
     d = d0
     stall = 0
@@ -234,8 +236,9 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
         blocks = _jit_blocks(data, cp, h, d)
         if host_direct:
             # production refinement reaches cond ~1e12: beyond any f32
-            # factorization; host f64 LU is the MUMPS-equivalent
-            delta = hostsolve.host_direction(data, blocks, r) * data.free
+            # factorization; host f64 LU (amortized across iterations
+            # via exact-residual IR) is the MUMPS-equivalent
+            delta = host_fac.solve(blocks, -r) * data.free
         else:
             delta = _jit_block_solve(data, blocks, -r) * data.free
         Pi0 = float(_jit_potential(data, cp, h, d))
@@ -284,7 +287,7 @@ def _adjoint_solve_direct(data: SystemData, d, cp, h, g):
     return _jit_residual_vjp.__wrapped__(data, d, cp, h, lam)
 
 
-def adjoint_solve(data: SystemData, d, cp, h, g):
+def adjoint_solve(data: SystemData, d, cp, h, g, host_fac=None):
     """Implicit-function adjoint: K lam = g, then (dcp, dh) = -lam^T
     dR/d(cp, h). All kernels take their arrays as jit ARGUMENTS (axon
     f64 closure-constant bug); on TPU the stages run as separate small
@@ -295,8 +298,9 @@ def adjoint_solve(data: SystemData, d, cp, h, g):
 
         blocks = _jit_blocks(data, cp, h, d)
         if hostsolve.enabled():
-            lam = hostsolve.host_direction(
-                data, blocks, -(g * data.free)) * data.free
+            fac = host_fac if host_fac is not None \
+                else hostsolve.PersistentHostFactor(data)
+            lam = fac.solve(blocks, g * data.free) * data.free
         else:
             lam = _jit_block_solve(data, blocks, g * data.free) * data.free
         return _jit_residual_vjp(data, d, cp, h, lam)
@@ -320,13 +324,22 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
     of jitted kernels is the supported TPU path; CPU tolerates either.
     """
 
+    # persistent host LU shared by forward and adjoint (TPU path): the
+    # factorization amortizes across Newton AND optimizer iterations;
+    # exact-residual IR keeps every solve exact (solver/hostsolve.py)
+    from goldfish_tpu.solver import hostsolve
+
+    phf = hostsolve.PersistentHostFactor(data) \
+        if (mode() == "mixed" and hostsolve.enabled()) else None
+
     @jax.custom_vjp
     def solve(cp, h, d0):
         if mode() == "mixed":
             # host-loop forward (monolithic while_loop Newton programs
             # crash the axon TPU worker at production scale)
             d, _, _ = newton_solve_host(data, cp, h, d0, rtol=rtol,
-                                        atol=atol, max_it=max_it)
+                                        atol=atol, max_it=max_it,
+                                        host_fac=phf)
             return d
         d, _, _ = newton_solve(data, cp, h, d0, rtol=rtol, atol=atol,
                                max_it=max_it, freeze_K=freeze_K)
@@ -338,7 +351,7 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
 
     def bwd(res, g):
         d, cp, h = res
-        dcp, dh = adjoint_solve(data, d, cp, h, g)
+        dcp, dh = adjoint_solve(data, d, cp, h, g, host_fac=phf)
         return dcp, dh, jnp.zeros_like(d)
 
     solve.defvjp(fwd, bwd)

@@ -1,16 +1,26 @@
-"""Host f64 direct solve: the MUMPS-equivalent fallback.
+"""Host f64 direct solve: the MUMPS-equivalent production linear solver.
 
 At production refinement the equilibrated KL-shell tangent reaches
 cond ~1e12+: NO f32 factorization can represent it (measured: f32 LU
 backward residual ~3e3 at the 20-patch wing, while the same kernels are
-backward stable on well-conditioned matrices — it's precision, not a
-kernel bug). The reference pays f64 MUMPS on the host for the same
-reason (reference: GOLDFISH/utils/opt_utils.py:156-209). Here the
-division of labor is: TPU computes the physics (residuals, Hessian
-blocks, objectives, AD) in emulated f64; the HOST assembles the dense
-tangent from the blocks and LU-factors it in native f64 (scipy). Below
-~cond 1e10 the all-device GMRES-IR path (solver/blocks.py) is
-preferable; set GOLDFISH_TPU_HOST_SOLVE=0 to force it.
+backward stable on well-conditioned matrices — precision, not a kernel
+bug). The reference pays f64 MUMPS on the host for the same reason
+(reference: GOLDFISH/utils/opt_utils.py:156-209). Division of labor:
+the TPU computes the physics (residuals, Hessian blocks, objectives,
+AD) in emulated f64; the HOST assembles the dense tangent from the
+device blocks (precomputed scatter indices + bincount: ~0.2 s) and
+LU-factors in native f64.
+
+`PersistentHostFactor` amortizes the factorization across Newton and
+optimizer iterations: every solve runs host-side iterative refinement
+against the CURRENT host-assembled K, so results stay exact while the
+factor is reused until it stops contracting. (All IR arithmetic is on
+the host: several device-side f64 programs — including the block
+matvec — are silently corrupted at this scale on the axon backend,
+CLAUDE.md.)
+
+Set GOLDFISH_TPU_HOST_SOLVE=0 to force the all-device GMRES-IR path
+(solver/blocks.py), which is preferable below ~cond 1e10.
 """
 
 from __future__ import annotations
@@ -27,50 +37,29 @@ __all__ = ["enabled", "host_assemble", "host_factor", "host_solve",
            "host_direction", "PersistentHostFactor"]
 
 
-def _get_jit_block_matvec():
-    import jax
-
-    from goldfish_tpu.solver.blocks import block_matvec
-
-    return jax.jit(block_matvec)
-
-
-class _LazyMV:
-    _fn = None
-
-    def __call__(self, data, blocks, x):
-        if _LazyMV._fn is None:
-            _LazyMV._fn = _get_jit_block_matvec()
-        return _LazyMV._fn(data, blocks, x)
-
-
-_jit_block_matvec = _LazyMV()
-
-
 def enabled() -> bool:
     return os.environ.get("GOLDFISH_TPU_HOST_SOLVE", "1") != "0"
 
 
-def host_assemble(data: SystemData, blocks: TangentBlocks) -> np.ndarray:
-    """Dense f64 K on the host from device Hessian blocks."""
+def _assembly_indices(data: SystemData):
+    """Flat N*N scatter indices for element and interface blocks
+    (constant per system; precompute once)."""
     stack = data.stack
     P, C = stack.n_patches, stack.max_cp
     N = P * C * 3
     conn = np.asarray(stack.conn)
     li = (conn[..., :, None] * 3 + np.arange(3)).reshape(
-        P, conn.shape[1], -1)  # (P, E, 3L)
-    gi = li + (np.arange(P) * C * 3)[:, None, None]
-    Ke = np.asarray(blocks.Ke)
+        P, conn.shape[1], -1)
+    gi = li + (np.arange(P) * C * 3)[:, None, None]          # (P, E, 3L)
+    rows = np.broadcast_to(gi[..., :, None],
+                           gi.shape + (gi.shape[-1],))
+    cols = np.broadcast_to(gi[..., None, :],
+                           gi.shape[:-1] + (gi.shape[-1], gi.shape[-1]))
+    idx_e = (rows.astype(np.int64) * N + cols).ravel()
 
-    K = np.zeros((N, N))
-    rows = gi[..., :, None]          # (P, E, 3L, 1)
-    cols = gi[..., None, :]          # (P, E, 1, 3L)
-    np.add.at(K, (np.broadcast_to(rows, Ke.shape).ravel(),
-                  np.broadcast_to(cols, Ke.shape).ravel()), Ke.ravel())
-
-    if blocks.Ki is not None:
+    idx_i = None
+    if data.ifs is not None and data.ifs.n_interfaces > 0:
         ifs = data.ifs
-        Ki = np.asarray(blocks.Ki)
         connA = np.asarray(ifs.connA)
         connB = np.asarray(ifs.connB)
         pairA = np.asarray(ifs.pairA)
@@ -81,12 +70,39 @@ def host_assemble(data: SystemData, blocks: TangentBlocks) -> np.ndarray:
             connB.shape[0], connB.shape[1], -1)
         gA = liA + (pairA * C * 3)[:, None, None]
         gB = liB + (pairB * C * 3)[:, None, None]
-        gAB = np.concatenate([gA, gB], axis=-1)  # (I, Nq, 6L)
-        rows = np.broadcast_to(gAB[..., :, None], Ki.shape).ravel()
-        cols = np.broadcast_to(gAB[..., None, :], Ki.shape).ravel()
-        np.add.at(K, (rows, cols), Ki.ravel())
-
+        gAB = np.concatenate([gA, gB], axis=-1)               # (I, Nq, 6L)
+        rows = np.broadcast_to(gAB[..., :, None],
+                               gAB.shape + (gAB.shape[-1],))
+        cols = np.broadcast_to(gAB[..., None, :],
+                               gAB.shape[:-1] + (gAB.shape[-1],
+                                                 gAB.shape[-1]))
+        idx_i = (rows.astype(np.int64) * N + cols).ravel()
     free = np.asarray(data.free).reshape(-1)
+    return idx_e, idx_i, free, N
+
+
+_IDX_CACHE: dict = {}
+
+
+def _indices_for(data: SystemData):
+    key = id(data.stack.conn)  # stable per built system
+    out = _IDX_CACHE.get(key)
+    if out is None:
+        out = _assembly_indices(data)
+        _IDX_CACHE[key] = out
+    return out
+
+
+def host_assemble(data: SystemData, blocks: TangentBlocks) -> np.ndarray:
+    """Dense f64 K on the host from device Hessian blocks (vectorized
+    bincount scatter over precomputed indices)."""
+    idx_e, idx_i, free, N = _indices_for(data)
+    Ke = np.asarray(blocks.Ke, dtype=np.float64)
+    vals = np.bincount(idx_e, weights=Ke.ravel(), minlength=N * N)
+    if idx_i is not None and blocks.Ki is not None:
+        Ki = np.asarray(blocks.Ki, dtype=np.float64)
+        vals += np.bincount(idx_i, weights=Ki.ravel(), minlength=N * N)
+    K = vals.reshape(N, N)
     K *= free[:, None]
     K *= free[None, :]
     K[np.arange(N), np.arange(N)] += 1.0 - free
@@ -102,69 +118,63 @@ def host_solve(fac, b: np.ndarray) -> np.ndarray:
 
 
 def host_direction(data: SystemData, blocks: TangentBlocks, r):
-    """delta = -K^{-1} r via the host f64 LU; r: (P, C, 3) device."""
+    """delta = -K^{-1} r via a fresh host f64 LU; r: (P, C, 3) device."""
+    import jax.numpy as jnp
+
     K = host_assemble(data, blocks)
     fac = host_factor(K)
     rn = np.asarray(r).reshape(-1)
     x = host_solve(fac, -rn)
-    import jax.numpy as jnp
-
     return jnp.asarray(x.reshape(np.asarray(r).shape), dtype=r.dtype)
 
 
 class PersistentHostFactor:
-    """Amortized host f64 LU: keep ONE factorization across Newton
-    iterations AND optimizer iterations; every solve is corrected by
-    iterative refinement with EXACT device-side block matvecs at the
-    CURRENT state, so solutions stay exact while the (expensive:
-    device->host block transfer + assemble + factor, ~10 s over the
-    axon tunnel) factorization is reused until the refinement stops
-    converging. Warm-started optimization loops refactor almost never.
+    """Amortized host f64 LU with host-side iterative refinement.
+
+    Per solve: assemble the CURRENT K from the device blocks (cheap),
+    refine against it using the (possibly stale) cached factor;
+    refactor at most once per solve when refinement stops contracting.
+    Warm-started optimization loops refactor rarely.
     """
 
-    def __init__(self, data: SystemData, max_ir: int = 8, tol: float = 1e-10):
+    def __init__(self, data: SystemData, max_ir: int = 10,
+                 tol: float = 1e-12):
         self.data = data
         self.max_ir = max_ir
         self.tol = tol
         self.fac = None
         self.n_factor = 0
 
-    def refactor(self, blocks: TangentBlocks):
-        self.fac = host_factor(host_assemble(self.data, blocks))
-        self.n_factor += 1
-
     def solve(self, blocks: TangentBlocks, b):
-        """Solve K(blocks) x = b exactly (IR to self.tol); refactors
-        (at most once per solve) when the stale factor stops
-        contracting."""
         import jax.numpy as jnp
 
+        K = host_assemble(self.data, blocks)
         if self.fac is None:
-            self.refactor(blocks)
-
-        shape = b.shape
-        bn = float(jnp.linalg.norm(b))
+            self.fac = host_factor(K)
+            self.n_factor += 1
+        bn_arr = np.asarray(b, dtype=np.float64).reshape(-1)
+        bn = float(np.linalg.norm(bn_arr))
         if bn == 0.0:
             return jnp.zeros_like(b)
-        x = jnp.zeros_like(b)
-        r = b
+        x = np.zeros_like(bn_arr)
+        r = bn_arr.copy()
         prev = float("inf")
         refactored = False
         for _ in range(self.max_ir):
-            dx = host_solve(self.fac, np.asarray(r).reshape(-1))
-            x = x + jnp.asarray(dx.reshape(shape), dtype=b.dtype)
-            r = b - _jit_block_matvec(self.data, blocks, x)
-            rel = float(jnp.linalg.norm(r)) / bn
+            x = x + host_solve(self.fac, r)
+            r = bn_arr - K @ x
+            rel = float(np.linalg.norm(r)) / bn
             if rel < self.tol:
-                return x
-            if rel > 0.5 * prev:  # stale factor no longer contracting
+                break
+            if rel > 0.5 * prev:
                 if refactored:
                     break
-                self.refactor(blocks)
+                self.fac = host_factor(K)
+                self.n_factor += 1
                 refactored = True
-                x = jnp.zeros_like(b)
-                r = b
+                x = np.zeros_like(bn_arr)
+                r = bn_arr.copy()
                 prev = float("inf")
                 continue
             prev = rel
-        return x
+        return jnp.asarray(x.reshape(np.asarray(b).shape), dtype=b.dtype)

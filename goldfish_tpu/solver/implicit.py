@@ -223,9 +223,10 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
     eps = float(jnp.finfo(d0.dtype).eps)
 
-    from goldfish_tpu.solver import hostsolve
+    from goldfish_tpu.solver import devicechol, hostsolve
 
-    host_direct = hostsolve.enabled()
+    device_direct = devicechol.enabled()
+    host_direct = (not device_direct) and hostsolve.enabled()
     if host_direct and host_fac is None:
         host_fac = hostsolve.PersistentHostFactor(data)
 
@@ -234,10 +235,13 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     it = 0
     while (it < max_it and rn > atol and rn > rtol * r_ref):
         blocks = _jit_blocks(data, cp, h, d)
-        if host_direct:
-            # production refinement reaches cond ~1e12: beyond any f32
-            # factorization; host f64 LU (amortized across iterations
-            # via exact-residual IR) is the MUMPS-equivalent
+        if device_direct:
+            # on-TPU blocked f64 Cholesky + device IR (the MUMPS role,
+            # fully device-resident; solver/devicechol.py)
+            dds = devicechol.DeviceDirectSolver().factor(data, blocks)
+            delta = dds.solve(-r) * data.free
+        elif host_direct:
+            # host f64 LU fallback (amortized via exact-residual IR)
             delta = host_fac.solve(blocks, -r) * data.free
         else:
             delta = _jit_block_solve(data, blocks, -r) * data.free
@@ -294,10 +298,13 @@ def adjoint_solve(data: SystemData, d, cp, h, g, host_fac=None):
     programs (fused Newton/adjoint programs corrupt or crash at scale
     on that backend, CLAUDE.md)."""
     if mode() == "mixed":
-        from goldfish_tpu.solver import hostsolve
+        from goldfish_tpu.solver import devicechol, hostsolve
 
         blocks = _jit_blocks(data, cp, h, d)
-        if hostsolve.enabled():
+        if devicechol.enabled():
+            dds = devicechol.DeviceDirectSolver().factor(data, blocks)
+            lam = dds.solve(g * data.free) * data.free
+        elif hostsolve.enabled():
             fac = host_fac if host_fac is not None \
                 else hostsolve.PersistentHostFactor(data)
             lam = fac.solve(blocks, g * data.free) * data.free

@@ -206,6 +206,11 @@ def _jit_block_solve(data: SystemData, blocks, b):
     return block_gmres_solve(data, blocks, b)
 
 
+@jax.jit
+def _jit_assemble_K(data: SystemData, cp, h, d):
+    return assemble_K(data, d, cp, h)
+
+
 def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
                       max_it=30, verbose=False, host_fac=None):
     """Host-driven damped Newton: python composition of SMALL jitted
@@ -234,16 +239,20 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     stall = 0
     it = 0
     while (it < max_it and rn > atol and rn > rtol * r_ref):
-        blocks = _jit_blocks(data, cp, h, d)
         if device_direct:
             # on-TPU blocked f64 Cholesky + device IR (the MUMPS role,
-            # fully device-resident; solver/devicechol.py)
-            dds = devicechol.DeviceDirectSolver().factor(data, blocks)
+            # fully device-resident; solver/devicechol.py). Assemble the
+            # dense f64 tangent directly (validated bit-accurate at
+            # scale) — cheaper than blocks + separate scatter.
+            K = _jit_assemble_K(data, cp, h, d)
+            dds = devicechol.DeviceDirectSolver().factor_from_K(K)
             delta = dds.solve(-r) * data.free
         elif host_direct:
+            blocks = _jit_blocks(data, cp, h, d)
             # host f64 LU fallback (amortized via exact-residual IR)
             delta = host_fac.solve(blocks, -r) * data.free
         else:
+            blocks = _jit_blocks(data, cp, h, d)
             delta = _jit_block_solve(data, blocks, -r) * data.free
         Pi0 = float(_jit_potential(data, cp, h, d))
         slope = float(jnp.sum(r * delta))
@@ -300,11 +309,13 @@ def adjoint_solve(data: SystemData, d, cp, h, g, host_fac=None):
     if mode() == "mixed":
         from goldfish_tpu.solver import devicechol, hostsolve
 
-        blocks = _jit_blocks(data, cp, h, d)
         if devicechol.enabled():
-            dds = devicechol.DeviceDirectSolver().factor(data, blocks)
+            K = _jit_assemble_K(data, cp, h, d)
+            dds = devicechol.DeviceDirectSolver().factor_from_K(K)
             lam = dds.solve(g * data.free) * data.free
-        elif hostsolve.enabled():
+            return _jit_residual_vjp(data, d, cp, h, lam)
+        blocks = _jit_blocks(data, cp, h, d)
+        if hostsolve.enabled():
             fac = host_fac if host_fac is not None \
                 else hostsolve.PersistentHostFactor(data)
             lam = fac.solve(blocks, g * data.free) * data.free
@@ -338,15 +349,22 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
 
     phf = hostsolve.PersistentHostFactor(data) \
         if (mode() == "mixed" and hostsolve.enabled()) else None
+    # adaptive floor hint: warm-started solves stop as soon as they
+    # reach the residual floor the previous solve achieved (the axon
+    # f64-emulation floor sits far above rtol*r_ref; without the hint
+    # every warm solve burns one extra assemble+factor detecting it)
+    floor_hint = [atol]
 
     @jax.custom_vjp
     def solve(cp, h, d0):
         if mode() == "mixed":
             # host-loop forward (monolithic while_loop Newton programs
             # crash the axon TPU worker at production scale)
-            d, _, _ = newton_solve_host(data, cp, h, d0, rtol=rtol,
-                                        atol=atol, max_it=max_it,
-                                        host_fac=phf)
+            d, its, rn = newton_solve_host(data, cp, h, d0, rtol=rtol,
+                                           atol=max(atol, floor_hint[0]),
+                                           max_it=max_it, host_fac=phf)
+            if its < max_it:  # converged/floored, not max_it-truncated
+                floor_hint[0] = max(atol, 1.5 * rn)
             return d
         d, _, _ = newton_solve(data, cp, h, d0, rtol=rtol, atol=atol,
                                max_it=max_it, freeze_K=freeze_K)

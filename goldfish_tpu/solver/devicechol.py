@@ -70,7 +70,7 @@ def _dense_matvec(K, x):
 class DeviceDirectSolver:
     """factor(data, blocks) then solve(b) with device IR to `tol`."""
 
-    def __init__(self, nb: int = 440, tol: float = 1e-10, max_ir: int = 3):
+    def __init__(self, nb: int = 220, tol: float = 1e-10, max_ir: int = 3):
         self.dc = DeviceCholesky(nb=nb)
         self.tol = tol
         self.max_ir = max_ir

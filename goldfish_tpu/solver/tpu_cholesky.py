@@ -59,7 +59,7 @@ def _panel_chol_and_inv(A):
 
 
 @partial(jax.jit, static_argnames=("nb",))
-def blocked_cholesky(K, nb: int = 440):
+def blocked_cholesky(K, nb: int = 220):
     """K: (N, N) SPD, N divisible by nb. Returns (L, invs) with
     L lower-triangular (K = L L^T) and invs: (N/nb, nb, nb) the
     inverses of the diagonal panels."""
@@ -94,7 +94,7 @@ def blocked_cholesky(K, nb: int = 440):
 
 
 @partial(jax.jit, static_argnames=("nb",))
-def blocked_chol_solve(L, invs, b, nb: int = 440):
+def blocked_chol_solve(L, invs, b, nb: int = 220):
     """Solve (L L^T) x = b via blocked forward/back substitution using
     the stored panel inverses (pure matmuls, static shapes)."""
     N = L.shape[0]
@@ -141,7 +141,7 @@ class DeviceCholesky:
     """Host facade: factor once, solve many — the on-TPU f64 direct
     solver (equilibrated SPD systems; cond up to ~1/eps_f64)."""
 
-    def __init__(self, nb: int = 440):
+    def __init__(self, nb: int = 220):
         self.nb = nb
         self._L = None
         self._invs = None

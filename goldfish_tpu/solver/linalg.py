@@ -115,23 +115,6 @@ def linear_solve(K, b, tol=1e-11):
     return mixed_solve(K, b, tol=tol)
 
 
-def f32_lu_solve(K32, b):
-    """Single-precision equilibrated LU solve (no refinement).
-
-    Newton DIRECTIONS tolerate an inexact tangent — the energy line
-    search in solver/implicit.py guarantees descent regardless — so the
-    hot per-iteration solve runs entirely on the native f32 MXU path.
-    Returns x in b's dtype.
-    """
-    if mode() == "direct":
-        return jnp.linalg.solve(K32, b.astype(K32.dtype)).astype(b.dtype)
-    Keq, dscale = _equilibrate(K32)
-    lu, piv = jax.scipy.linalg.lu_factor(Keq)
-    y = jax.scipy.linalg.lu_solve(
-        (lu, piv), (dscale.astype(b.dtype) * b).astype(jnp.float32))
-    return dscale.astype(b.dtype) * y.astype(b.dtype)
-
-
 def cast_floating(tree, dtype):
     """Cast every inexact-dtype leaf of a pytree (e.g. SystemData)."""
     return jax.tree_util.tree_map(

@@ -37,7 +37,8 @@ from goldfish_tpu.solver.system import (
 )
 
 __all__ = ["MINonMatchingSystem", "total_potential_mi", "residual_mi",
-           "assemble_K_mi", "newton_solve_mi", "build_solve_fn_mi"]
+           "assemble_K_mi", "newton_solve_mi", "newton_solve_mi_host",
+           "adjoint_solve_mi", "build_solve_fn_mi"]
 
 
 def total_potential_mi(data: SystemData, mi, co, ss, p, q, d, cp, h, xi):
@@ -148,17 +149,107 @@ def newton_solve_mi(data, mi, co, ss, p, q, cp, h, xi, d0, rtol=1e-10,
 
 
 @partial(jax.jit, static_argnames=("p", "q"))
-def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g):
-    """Jitted MI adjoint with all arrays as arguments (axon f64
-    closure-constant bug, CLAUDE.md)."""
-    K = assemble_K_mi(data, mi, co, ss, p, q, d, cp, h, xi)
-    lam = linear_solve(K, (g * data.free).reshape(-1)).reshape(g.shape)
-    lam = lam * data.free
+def _jit_residual_mi(data, mi, co, ss, p, q, cp, h, xi, d):
+    return residual_mi(data, mi, co, ss, p, q, d, cp, h, xi)
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
+def _jit_potential_mi(data, mi, co, ss, p, q, cp, h, xi, d):
+    return total_potential_mi(data, mi, co, ss, p, q, d, cp, h, xi)
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
+def _jit_K_mi(data, mi, co, ss, p, q, cp, h, xi, d):
+    return assemble_K_mi(data, mi, co, ss, p, q, d, cp, h, xi)
+
+
+def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
+                         rtol=1e-10, atol=1e-14, max_it=30, verbose=False):
+    """Host-driven MI Newton for the TPU path: python composition of
+    small jitted programs + the on-device f64 Cholesky (monolithic
+    while_loop programs crash/corrupt on the axon backend at scale,
+    CLAUDE.md)."""
+    import numpy as np
+
+    from goldfish_tpu.solver import devicechol
+    from goldfish_tpu.solver.tpu_cholesky import DeviceCholesky
+
+    r0v = _jit_residual_mi(data, mi, co, ss, p, q, cp, h, xi,
+                           jnp.zeros_like(d0))
+    r_ref = float(jnp.linalg.norm(r0v))
+    r = _jit_residual_mi(data, mi, co, ss, p, q, cp, h, xi, d0)
+    rn = float(jnp.linalg.norm(r))
+    r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
+    eps = float(jnp.finfo(d0.dtype).eps)
+
+    d = d0
+    stall = 0
+    it = 0
+    while (it < max_it and rn > atol and rn > rtol * r_ref):
+        K = _jit_K_mi(data, mi, co, ss, p, q, cp, h, xi, d)
+        dds = devicechol.DeviceDirectSolver().factor_from_K(K)
+        delta = dds.solve(-r) * data.free
+        Pi0 = float(_jit_potential_mi(data, mi, co, ss, p, q, cp, h, xi, d))
+        slope = float(jnp.sum(r * delta))
+        done_slope = abs(slope) <= 4.0 * eps * abs(Pi0) + 1e-300
+        alpha = 1.0
+        if not done_slope:
+            for _ in range(30):
+                Pi_try = float(_jit_potential_mi(
+                    data, mi, co, ss, p, q, cp, h, xi, d + alpha * delta))
+                if Pi_try <= Pi0 + 1e-4 * alpha * slope + 16 * eps * abs(Pi0):
+                    break
+                alpha *= 0.5
+        d = d + alpha * delta
+        r = _jit_residual_mi(data, mi, co, ss, p, q, cp, h, xi, d)
+        rn = float(jnp.linalg.norm(r))
+        Pi_new = float(_jit_potential_mi(data, mi, co, ss, p, q, cp, h,
+                                         xi, d))
+        it += 1
+        if verbose:
+            print(f"  newton(mi,host) it {it}: |r|={rn:.3e} alpha={alpha:g}")
+        if done_slope:
+            break
+        if Pi_new >= Pi0 - 64 * eps * abs(Pi0):
+            stall += 1
+            if stall >= 3:
+                break
+        else:
+            stall = 0
+    return d, it, rn
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
+def _jit_res_vjp_mi(data, mi, co, ss, p, q, d, cp, h, xi, lam):
     _, vjp = jax.vjp(
         lambda cp_, h_, xi_: residual_mi(
             data, mi, co, ss, p, q, d, cp_, h_, xi_), cp, h, xi)
-    dcp, dh, dxi = vjp(-lam)
-    return dcp, dh, dxi
+    return vjp(-lam)
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
+def _adjoint_solve_mi_direct(data, mi, co, ss, p, q, d, cp, h, xi, g):
+    K = assemble_K_mi(data, mi, co, ss, p, q, d, cp, h, xi)
+    lam = linear_solve(K, (g * data.free).reshape(-1)).reshape(g.shape)
+    lam = lam * data.free
+    return _jit_res_vjp_mi.__wrapped__(data, mi, co, ss, p, q, d, cp, h,
+                                       xi, lam)
+
+
+def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g):
+    """MI adjoint; on TPU composed from small programs + the device
+    f64 Cholesky (axon hazards, CLAUDE.md); direct f64 LU on CPU."""
+    from goldfish_tpu.solver.linalg import mode as _mode
+
+    if _mode() == "mixed":
+        from goldfish_tpu.solver import devicechol
+
+        K = _jit_K_mi(data, mi, co, ss, p, q, cp, h, xi, d)
+        dds = devicechol.DeviceDirectSolver().factor_from_K(K)
+        lam = dds.solve(g * data.free) * data.free
+        return _jit_res_vjp_mi(data, mi, co, ss, p, q, d, cp, h, xi, lam)
+    return _adjoint_solve_mi_direct(data, mi, co, ss, p, q, d, cp, h,
+                                    xi, g)
 
 
 def build_solve_fn_mi(data, mi, co, ss, p, q, rtol=1e-10, atol=1e-14,
@@ -169,8 +260,15 @@ def build_solve_fn_mi(data, mi, co, ss, p, q, rtol=1e-10, atol=1e-14,
     automatically. TPU note: compose eagerly (see
     solver/implicit.build_solve_fn)."""
 
+    from goldfish_tpu.solver.linalg import mode as _mode
+
     @jax.custom_vjp
     def solve(cp, h, xi, d0):
+        if _mode() == "mixed":
+            d, _, _ = newton_solve_mi_host(data, mi, co, ss, p, q, cp, h,
+                                           xi, d0, rtol=rtol, atol=atol,
+                                           max_it=max_it)
+            return d
         d, _, _ = newton_solve_mi(data, mi, co, ss, p, q, cp, h, xi, d0,
                                   rtol=rtol, atol=atol, max_it=max_it)
         return d
@@ -223,8 +321,12 @@ class MINonMatchingSystem(NonMatchingSystem):
         cp = self.cp if cp is None else cp
         h = self.h_init if h is None else h
         d = self.zero_displacement() if d0 is None else d0
+        from goldfish_tpu.solver.linalg import mode as _mode
+
         xi = self.c2x.solve(cp)
-        d, it, rn = newton_solve_mi(
+        solver = newton_solve_mi_host if _mode() == "mixed" \
+            else newton_solve_mi
+        d, it, rn = solver(
             self.data, self.mi, self.co, self.ss, self.pdeg, self.qdeg,
             cp, h, xi, d, rtol=rtol, atol=atol, max_it=max_it)
         if verbose:

@@ -191,6 +191,38 @@ def _c2x_newton(ss, mi, cp, x0, *, p, q, rtol=1e-12, max_it=20):
 
 
 @partial(jax.jit, static_argnames=("p", "q"))
+def _c2x_step(ss, mi, cp, x, *, p, q):
+    """One batched Newton step (host-composed on TPU: the monolithic
+    while_loop xi-solver does not even compile on the axon backend)."""
+    r = _c2x_res.__wrapped__(ss, mi, cp, x, p=p, q=q)
+    J = _c2x_jac.__wrapped__(ss, mi, cp, x, p=p, q=q)
+    dx = jnp.linalg.solve(J, -r[..., None])[..., 0]
+    rn = jnp.linalg.norm(r)
+    return dx, rn
+
+
+def _c2x_newton_host(ss, mi, cp, x0, *, p, q, rtol=1e-12, max_it=20):
+    x = x0
+    rn_prev = None
+    for it in range(max_it):
+        dx, rn = _c2x_step(ss, mi, cp, x, p=p, q=q)
+        rnf = float(rn)
+        if rnf <= rtol:
+            return x, it, rnf
+        # backtracking on the batched residual norm
+        alpha = 1.0
+        for _ in range(20):
+            rt = _c2x_res(ss, mi, cp, x + alpha * dx, p=p, q=q)
+            if float(jnp.linalg.norm(rt)) <= (1 - 1e-4 * alpha) * rnf:
+                break
+            alpha *= 0.5
+        x = x + alpha * dx
+        rn_prev = rnf
+    _, rn = _c2x_step(ss, mi, cp, x, p=p, q=q)
+    return x, max_it, float(rn)
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
 def _c2x_adjoint(ss, mi, cp, x, g, *, p, q):
     """Implicit-function backward: dR/dxi^T lam = g, dcp = -lam^T dR/dcp."""
     J = _c2x_jac.__wrapped__(ss, mi, cp, x, p=p, q=q)
@@ -230,6 +262,13 @@ class CPIGA2Xi:
 
         @jax.custom_vjp
         def solve_xi(cp, x0):
+            from goldfish_tpu.solver.linalg import mode as _mode
+
+            if _mode() == "mixed":
+                x, _, _ = _c2x_newton_host(self.ss, self.mi, cp, x0,
+                                           p=p, q=q, rtol=rtol_,
+                                           max_it=max_it_)
+                return x
             x, _, _ = _c2x_newton(self.ss, self.mi, cp, x0, p=p, q=q,
                                   rtol=rtol_, max_it=max_it_)
             return x

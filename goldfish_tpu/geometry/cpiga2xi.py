@@ -191,22 +191,26 @@ def _c2x_newton(ss, mi, cp, x0, *, p, q, rtol=1e-12, max_it=20):
 
 
 @partial(jax.jit, static_argnames=("p", "q"))
-def _c2x_step(ss, mi, cp, x, *, p, q):
-    """One batched Newton step (host-composed on TPU: the monolithic
-    while_loop xi-solver does not even compile on the axon backend)."""
+def _c2x_res_jac(ss, mi, cp, x, *, p, q):
+    """Residual + Jacobian in one program (host-composed on TPU: the
+    monolithic while_loop xi-solver does not even compile on the axon
+    backend, and batched f64 LU is unavailable on device)."""
     r = _c2x_res.__wrapped__(ss, mi, cp, x, p=p, q=q)
     J = _c2x_jac.__wrapped__(ss, mi, cp, x, p=p, q=q)
-    dx = jnp.linalg.solve(J, -r[..., None])[..., 0]
-    rn = jnp.linalg.norm(r)
-    return dx, rn
+    return r, J
 
 
 def _c2x_newton_host(ss, mi, cp, x0, *, p, q, rtol=1e-12, max_it=20):
+    import numpy as np
+
     x = x0
-    rn_prev = None
     for it in range(max_it):
-        dx, rn = _c2x_step(ss, mi, cp, x, p=p, q=q)
-        rnf = float(rn)
+        r, J = _c2x_res_jac(ss, mi, cp, x, p=p, q=q)
+        # per-intersection dense solves are tiny (4N x 4N): host f64
+        dx = jnp.asarray(np.linalg.solve(
+            np.asarray(J), -np.asarray(r)[..., None])[..., 0],
+            dtype=x.dtype)
+        rnf = float(jnp.linalg.norm(r))
         if rnf <= rtol:
             return x, it, rnf
         # backtracking on the batched residual norm
@@ -217,23 +221,43 @@ def _c2x_newton_host(ss, mi, cp, x0, *, p, q, rtol=1e-12, max_it=20):
                 break
             alpha *= 0.5
         x = x + alpha * dx
-        rn_prev = rnf
-    _, rn = _c2x_step(ss, mi, cp, x, p=p, q=q)
-    return x, max_it, float(rn)
+    r, _ = _c2x_res_jac(ss, mi, cp, x, p=p, q=q)
+    return x, max_it, float(jnp.linalg.norm(r))
 
 
 @partial(jax.jit, static_argnames=("p", "q"))
-def _c2x_adjoint(ss, mi, cp, x, g, *, p, q):
-    """Implicit-function backward: dR/dxi^T lam = g, dcp = -lam^T dR/dcp."""
-    J = _c2x_jac.__wrapped__(ss, mi, cp, x, p=p, q=q)
-    lam = jnp.linalg.solve(jnp.swapaxes(J, -1, -2), g[..., None])[..., 0]
-
+def _c2x_res_vjp(ss, mi, cp, x, lam, *, p, q):
     def r_of_cp(cp_):
         return _c2x_res.__wrapped__(ss, mi, cp_, x, p=p, q=q)
 
     _, vjp = jax.vjp(r_of_cp, cp)
     (dcp,) = vjp(-lam)
     return dcp
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
+def _c2x_adjoint_direct(ss, mi, cp, x, g, *, p, q):
+    J = _c2x_jac.__wrapped__(ss, mi, cp, x, p=p, q=q)
+    lam = jnp.linalg.solve(jnp.swapaxes(J, -1, -2), g[..., None])[..., 0]
+    return _c2x_res_vjp.__wrapped__(ss, mi, cp, x, lam, p=p, q=q)
+
+
+def _c2x_adjoint(ss, mi, cp, x, g, *, p, q):
+    """Implicit-function backward: dR/dxi^T lam = g, dcp = -lam^T
+    dR/dcp. On TPU the tiny per-intersection transpose solves run on
+    the host (no batched f64 LU on device)."""
+    from goldfish_tpu.solver.linalg import mode as _mode
+
+    if _mode() == "mixed":
+        import numpy as np
+
+        _, J = _c2x_res_jac(ss, mi, cp, x, p=p, q=q)
+        Jt = np.swapaxes(np.asarray(J), -1, -2)
+        lam = jnp.asarray(
+            np.linalg.solve(Jt, np.asarray(g)[..., None])[..., 0],
+            dtype=x.dtype)
+        return _c2x_res_vjp(ss, mi, cp, x, lam, p=p, q=q)
+    return _c2x_adjoint_direct(ss, mi, cp, x, g, p=p, q=q)
 
 
 class CPIGA2Xi:

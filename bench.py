@@ -71,16 +71,23 @@ def main():
 
     vg, h0, d0, n_dofs = build_workload()
 
+    def force(*xs):
+        # jax.block_until_ready does NOT actually block on the axon TPU
+        # backend (CLAUDE.md): force a scalar READBACK of every output
+        # so the timer only stops once all device work has completed.
+        import jax.numpy as jnp
+        return float(sum(jnp.asarray(x).ravel()[0] for x in xs))
+
     # compile + converge the warm start
     (J, d), g = vg(h0, d0)
-    jax.block_until_ready((J, d, g))
+    force(J, d, g)
 
     times = []
     for k in range(5):
         hk = h0 * (1.0 + 1e-4 * (k + 1))  # optimizer-step-sized change
         t0 = time.perf_counter()
         (J, d), g = vg(hk, d)
-        jax.block_until_ready((J, d, g))
+        force(J, d, g)
         times.append(time.perf_counter() - t0)
     times.sort()
     t = times[len(times) // 2]

@@ -210,19 +210,23 @@ def _c2x_newton_host(ss, mi, cp, x0, *, p, q, rtol=1e-12, max_it=20):
         dx = jnp.asarray(np.linalg.solve(
             np.asarray(J), -np.asarray(r)[..., None])[..., 0],
             dtype=x.dtype)
-        rnf = float(jnp.linalg.norm(r))
+        # convergence on the MAX per-intersection norm, matching the
+        # jitted device solver (_c2x_newton): the aggregate norm can
+        # hide one badly-converged intersection among many
+        rnf = float(jnp.max(jnp.linalg.norm(r, axis=-1)))
         if rnf <= rtol:
             return x, it, rnf
         # backtracking on the batched residual norm
         alpha = 1.0
         for _ in range(20):
             rt = _c2x_res(ss, mi, cp, x + alpha * dx, p=p, q=q)
-            if float(jnp.linalg.norm(rt)) <= (1 - 1e-4 * alpha) * rnf:
+            if float(jnp.max(jnp.linalg.norm(rt, axis=-1))) \
+                    <= (1 - 1e-4 * alpha) * rnf:
                 break
             alpha *= 0.5
         x = x + alpha * dx
     r, _ = _c2x_res_jac(ss, mi, cp, x, p=p, q=q)
-    return x, max_it, float(jnp.linalg.norm(r))
+    return x, max_it, float(jnp.max(jnp.linalg.norm(r, axis=-1)))
 
 
 @partial(jax.jit, static_argnames=("p", "q"))

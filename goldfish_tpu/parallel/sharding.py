@@ -85,6 +85,8 @@ def pad_system(data: SystemData, P_new: int) -> SystemData:
         else _pad_leading(data.f_areal, P_new, "zero"),
         pressure=None if data.pressure is None
         else _pad_leading(data.pressure, P_new, "zero"),
+        f_field=None if data.f_field is None
+        else _pad_leading(data.f_field, P_new, "zero"),
     )
 
 

@@ -84,30 +84,39 @@ def _rational_rows(ss: SurfSet, p: int, q: int, ip, t):
     return conn, R0, R1
 
 
+def _curve_tangents(xiS, n_pts, dtype):
+    """dxi/ds at every sample of one curve side: (N, 2).
+
+    Central differences in the interior, one-sided at the real ends.
+    Padded rows (k > n_pts-1) replicate the LAST REAL point, so their
+    neighbor differences are exactly zero — which would feed _unit(0)
+    NaNs into the penalty density that the zero quadrature weight cannot
+    mask (0*NaN = NaN). Padding discipline: padded rows carry the last
+    real point's tangent instead.
+    """
+    N = xiS.shape[0]
+    n1i = (n_pts - 1).astype(dtype)
+    fwdd = jnp.roll(xiS, -1, axis=0) - xiS      # k -> k+1 - k
+    bwdd = xiS - jnp.roll(xiS, 1, axis=0)
+    k = jnp.arange(N)
+    last = n_pts - 1
+    interior = (k > 0) & (k < last)
+    dxi = jnp.where(interior[:, None], 0.5 * (fwdd + bwdd) * n1i,
+                    jnp.where((k == 0)[:, None], fwdd * n1i,
+                              bwdd * n1i))
+    dxi_last = jnp.take(dxi, last, axis=0)
+    return jnp.where((k > last)[:, None], dxi_last, dxi)
+
+
 def _point_contributions(ss, p, q, mi: MovingIntersections, xi, d, cp,
                          h_coef, E_int, co: MICoupling):
     """Penalty density * dl at every (intersection, point): (I, N)."""
     I, N = mi.n_int, mi.n_max
-    n1 = (mi.n_pts - 1).astype(xi.dtype)  # (I,)
-
-    # curve-parameter tangents dxi/ds by neighbor differences
-    def dxids(xiS, n1i, n_pts):
-        # xiS: (N, 2); central interior, one-sided at real ends
-        fwdd = jnp.roll(xiS, -1, axis=0) - xiS      # k -> k+1 - k
-        bwdd = xiS - jnp.roll(xiS, 1, axis=0)
-        k = jnp.arange(N)
-        last = n_pts - 1
-        interior = (k > 0) & (k < last)
-        dxi = jnp.where(interior[:, None], 0.5 * (fwdd + bwdd) * n1i,
-                        jnp.where((k == 0)[:, None], fwdd * n1i,
-                                  bwdd * n1i))
-        return dxi
 
     def one_int(iA, iB, xiI, n_pts, wsI, adI, arI, EI):
         xiA, xiB = xiI[:, 0, :], xiI[:, 1, :]
-        n1i = (n_pts - 1).astype(xi.dtype)
-        dxiA = dxids(xiA, n1i, n_pts)
-        dxiB = dxids(xiB, n1i, n_pts)
+        dxiA = _curve_tangents(xiA, n_pts, xi.dtype)
+        dxiB = _curve_tangents(xiB, n_pts, xi.dtype)
 
         rowsA = jax.vmap(lambda t: _rational_rows(ss, p, q, iA, t))(xiA)
         rowsB = jax.vmap(lambda t: _rational_rows(ss, p, q, iB, t))(xiB)
@@ -177,18 +186,8 @@ def interface_hessians_mi(ss, p, q, mi: MovingIntersections, co: MICoupling,
 
     def one_int(iA, iB, xiI, n_pts, wsI, adI, arI, EI):
         xiA, xiB = xiI[:, 0, :], xiI[:, 1, :]
-        n1i = (n_pts - 1).astype(xi.dtype)
-        k = jnp.arange(N)
-        last = n_pts - 1
-        interior = (k > 0) & (k < last)
-        fwdd = jnp.roll(xiA, -1, 0) - xiA
-        bwdd = xiA - jnp.roll(xiA, 1, 0)
-        dxiA = jnp.where(interior[:, None], 0.5 * (fwdd + bwdd) * n1i,
-                         jnp.where((k == 0)[:, None], fwdd * n1i, bwdd * n1i))
-        fwdb = jnp.roll(xiB, -1, 0) - xiB
-        bwdb = xiB - jnp.roll(xiB, 1, 0)
-        dxiB = jnp.where(interior[:, None], 0.5 * (fwdb + bwdb) * n1i,
-                         jnp.where((k == 0)[:, None], fwdb * n1i, bwdb * n1i))
+        dxiA = _curve_tangents(xiA, n_pts, xi.dtype)
+        dxiB = _curve_tangents(xiB, n_pts, xi.dtype)
         return jax.vmap(one_point,
                         in_axes=(None, None, 0, 0, 0, 0, 0, None, None, None)
                         )(iA, iB, xiA, xiB, dxiA, dxiB, wsI, adI, arI, EI)

@@ -34,7 +34,7 @@ def compliance(data: SystemData, d, cp, h):
     """External-load work at equilibrium (reference:
     operations/compliance_exop.py)."""
     return external_work(data.stack, d, cp, data.f_areal, data.point_loads,
-                         data.pressure, data.edge_loads)
+                         data.pressure, data.edge_loads, data.f_field)
 
 
 def _patch_areas(stack: PatchStack, cp):

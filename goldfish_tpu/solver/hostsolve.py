@@ -85,7 +85,23 @@ _IDX_CACHE: dict = {}
 
 
 def _indices_for(data: SystemData):
-    key = id(data.stack.conn)  # stable per built system
+    # Content-derived key: id() can be REUSED by CPython after the
+    # first system is garbage-collected, silently handing a second
+    # system the wrong scatter indices (round-1 advisor finding). The
+    # cheap invariants below pin the assembly topology; the conn
+    # checksum distinguishes same-shape systems with different
+    # connectivity.
+    conn = np.asarray(data.stack.conn)
+    free = np.asarray(data.free)
+    if data.ifs is None:
+        ikey = None
+    else:
+        ikey = (hash(np.asarray(data.ifs.connA).tobytes()),
+                hash(np.asarray(data.ifs.connB).tobytes()),
+                hash(np.asarray(data.ifs.pairA).tobytes()),
+                hash(np.asarray(data.ifs.pairB).tobytes()))
+    key = (conn.shape, hash(conn.tobytes()), ikey,
+           free.shape, hash(free.tobytes()))
     out = _IDX_CACHE.get(key)
     if out is None:
         out = _assembly_indices(data)

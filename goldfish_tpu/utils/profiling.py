@@ -14,7 +14,21 @@ from collections import defaultdict
 
 import jax
 
-__all__ = ["Profiler", "profiler"]
+__all__ = ["Profiler", "profiler", "force_readback"]
+
+
+def force_readback(tree):
+    """Synchronize by READING BACK one scalar from every array leaf.
+
+    `jax.block_until_ready` does NOT actually block on the axon TPU
+    backend (CLAUDE.md) — an actual host transfer is the only reliable
+    fence there, and it is what stops a stage timer honestly."""
+    total = 0.0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        arr = jax.numpy.asarray(leaf).ravel()
+        if arr.size:
+            total += float(arr[0])
+    return total
 
 
 class Profiler:
@@ -38,9 +52,9 @@ class Profiler:
             box = [None]
             yield box
             if box[0] is not None:
-                jax.block_until_ready(box[0])
+                force_readback(box[0])
             elif sync is not None:
-                jax.block_until_ready(sync)
+                force_readback(sync)
         self.records[name].append(time.perf_counter() - t0)
 
     def summary(self) -> str:

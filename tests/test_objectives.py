@@ -69,3 +69,23 @@ def test_max_vm_gradient_parity(solved_plate):
     fd = (J(sys.h_init + eps * v) - J(sys.h_init - eps * v)) / (2 * eps)
     ad = jnp.sum(g * v)
     assert abs(float(ad - fd)) / abs(float(fd)) < 1e-5, (float(ad), float(fd))
+
+
+def test_compliance_includes_f_field():
+    """compliance() must include the areal-field (aero-coupling) work
+    term — round-1 verdict: it was silently dropped. Clapeyron check
+    with ONLY an f_field load: C ~ 2 W_int in the linear regime."""
+    sys = plate.build(num_el=3, p=2, num_patches=2)
+    # strip the default load, apply a distributed CP coefficient field
+    sys.f_areal = None
+    sys.edge_load_entries = []
+    sys.point_load_entries = []
+    sys._data = None
+    f = np.zeros((sys.num_splines, sys.stack.max_cp, 3))
+    f[:, :, 2] = 1.0e-2
+    sys.set_areal_field(f)
+    d = sys.solve_nonlinear(rtol=1e-12)
+    W = float(objectives.internal_energy(sys.data, d, sys.cp, sys.h_init))
+    C = float(objectives.compliance(sys.data, d, sys.cp, sys.h_init))
+    assert C != 0.0
+    assert abs(C - 2 * W) / abs(C) < 0.02, (C, 2 * W)

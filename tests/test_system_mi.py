@@ -76,3 +76,82 @@ def test_full_chain_shape_gradient(mi_sys):
     eps = 1e-5
     fd = (J(amp0 + eps) - J(amp0 - eps)) / (2 * eps)
     assert abs(float(g - fd)) / abs(float(fd)) < 1e-5, (float(g), float(fd))
+
+
+def _mi_cross(num_el=3, p=2, n_pts_list=(5, 9)):
+    """Flange + TWO webs at different chord positions: two intersections
+    with UNEQUAL point counts, so the shorter one's xi rows are padded
+    (the advisor's round-1 NaN repro: padded points replicate the last
+    real point -> zero neighbor-difference tangent -> _unit(0) NaN)."""
+    w2 = tbeam.WIDTH / 2
+    pts0 = [[-w2, 0, 0], [w2, 0, 0], [-w2, tbeam.LENGTH, 0],
+            [w2, tbeam.LENGTH, 0]]
+    pts1 = [[-w2 / 2, 0, 0], [-w2 / 2, 0, -tbeam.DEPTH],
+            [-w2 / 2, tbeam.LENGTH, 0], [-w2 / 2, tbeam.LENGTH, -tbeam.DEPTH]]
+    pts2 = [[w2 / 2, 0, 0], [w2 / 2, 0, -tbeam.DEPTH],
+            [w2 / 2, tbeam.LENGTH, 0], [w2 / 2, tbeam.LENGTH, -tbeam.DEPTH]]
+    srf0 = tbeam.create_surf(pts0, num_el, num_el, p)
+    srf1 = tbeam.create_surf(pts1, max(num_el // 2, 1), num_el, p)
+    srf2 = tbeam.create_surf(pts2, max(num_el // 2, 1), num_el + 1, p)
+    specs = [
+        InterfaceSpec(pair=(0, 1),
+                      xi_ends_A=np.array([[0.25, 0.0], [0.25, 1.0]]),
+                      xi_ends_B=np.array([[0.0, 0.0], [0.0, 1.0]]),
+                      n_mortar_el=n_pts_list[0] - 1),
+        InterfaceSpec(pair=(0, 2),
+                      xi_ends_A=np.array([[0.75, 0.0], [0.75, 1.0]]),
+                      xi_ends_B=np.array([[0.0, 0.0], [0.0, 1.0]]),
+                      n_mortar_el=n_pts_list[1] - 1),
+    ]
+    sys = MINonMatchingSystem([srf0, srf1, srf2], tbeam.E, tbeam.NU,
+                              tbeam.H_TH, specs=specs,
+                              n_pts_list=list(n_pts_list))
+    sys.add_side_bc(0, direction=1, side=0, n_layers=1)
+    sys.add_side_bc(1, direction=1, side=0, n_layers=1)
+    sys.add_side_bc(2, direction=1, side=0, n_layers=1)
+    sys.add_point_load(0, [1.0, 1.0], [0.0, 0.0, 10.0])
+    return sys
+
+
+def test_heterogeneous_npts_finite():
+    """Unequal n_pts across intersections: energy/residual/solve must be
+    finite (round-1 advisor high-severity finding)."""
+    from goldfish_tpu.solver.system_mi import residual_mi, total_potential_mi
+
+    sys = _mi_cross()
+    xi = sys.c2x.solve(sys.cp)
+    assert bool(jnp.all(jnp.isfinite(xi)))
+    d0 = sys.zero_displacement()
+    Pi = total_potential_mi(sys.data, sys.mi, sys.co, sys.ss, sys.pdeg,
+                            sys.qdeg, d0, sys.cp, sys.h_init, xi)
+    assert bool(jnp.isfinite(Pi)), float(Pi)
+    r = residual_mi(sys.data, sys.mi, sys.co, sys.ss, sys.pdeg, sys.qdeg,
+                    d0, sys.cp, sys.h_init, xi)
+    assert bool(jnp.all(jnp.isfinite(r)))
+    d = sys.solve_nonlinear(rtol=1e-10)
+    assert bool(jnp.all(jnp.isfinite(d)))
+    u = sys.evaluate_displacement(d, 0, [1.0, 1.0])
+    assert bool(jnp.all(jnp.isfinite(u))) and abs(float(u[2])) > 0.0
+
+
+def test_heterogeneous_npts_gradient():
+    """Full-chain gradient with padded intersections stays FD-exact."""
+    sys = _mi_cross()
+    forward = sys.build_forward(rtol=1e-11, max_it=25)
+    d0 = sys.zero_displacement()
+    m = sys.metas[1]
+    gv = sys.surfs[1].greville_points(1)
+    bend = jnp.asarray(np.tile(np.sin(np.pi * gv)[None, :],
+                               (m.n_u, 1)).ravel())
+
+    def J(amp):
+        cp = sys.cp.at[1, : m.n_cp, 0].add(amp * bend)
+        d, xi = forward(cp, sys.h_init, d0)
+        return kl_shell.internal_energy(sys.stack, d, cp, sys.h_init,
+                                        sys.E, sys.nu)
+
+    amp0 = jnp.asarray(0.03)
+    g = jax.grad(J)(amp0)
+    eps = 1e-5
+    fd = (J(amp0 + eps) - J(amp0 - eps)) / (2 * eps)
+    assert abs(float(g - fd)) / abs(float(fd)) < 1e-5, (float(g), float(fd))

@@ -52,13 +52,15 @@ class CPSurfDesign2Analysis:
         self.surf_inds = list(range(len(surfs))) if surf_inds is None \
             else list(surf_inds)
         self.ops = {}          # surf index -> (n_analysis, n_design) matrix
+        self.elev_ops = {}     # order-elevation stage (design -> elevated)
+        self.refine_ops = {}   # knot-refinement stage (elevated -> analysis)
         self.design_shapes = {}
         for i in self.surf_inds:
             s = surfs[i]
             p_an = s.degree
             p_de = p_an if design_degree is None else tuple(
                 np.broadcast_to(design_degree, (2,)))
-            As = []
+            Es, Rs = [], []
             shape = []
             for ax in range(2):
                 kd = open_uniform_knots(p_de[ax], int(
@@ -72,14 +74,29 @@ class CPSurfDesign2Analysis:
                     "dividing the analysis refinement")
                 R, kr = refine_knots_operator(ke, p_an[ax], add)
                 assert np.allclose(kr, s.knots[ax])
-                As.append(R @ E)
+                Es.append(E)
+                Rs.append(R)
                 shape.append(len(kd) - p_de[ax] - 1)
-            self.ops[i] = surface_operator(As[0], As[1])
+            self.elev_ops[i] = surface_operator(Es[0], Es[1])
+            self.refine_ops[i] = surface_operator(Rs[0], Rs[1])
+            self.ops[i] = self.refine_ops[i] @ self.elev_ops[i]
             self.design_shapes[i] = tuple(shape)
 
     # ------------------------------------------------------------- maps
     def matrix(self, i) -> np.ndarray:
         return self.ops[i]
+
+    def elevation_matrix(self, i) -> np.ndarray:
+        """Order-elevation stage alone (reference
+        surface_order_elevation_operator, bsp_utils.py:573-620 /
+        CPSurfOrderElevationComp)."""
+        return self.elev_ops[i]
+
+    def refinement_matrix(self, i) -> np.ndarray:
+        """Knot-refinement stage alone (reference
+        surface_knot_refine_operator, bsp_utils.py:516-555 /
+        CPSurfKnotRefienmentComp)."""
+        return self.refine_ops[i]
 
     def n_design(self, i) -> int:
         return int(np.prod(self.design_shapes[i]))

@@ -57,10 +57,18 @@ class MovingIntersections(NamedTuple):
 
 
 def build_moving_intersections(specs, n_pts_list, dtype=jnp.float64):
-    """specs: InterfaceSpec-like (pair, xi_ends_A, xi_ends_B) objects;
-    n_pts_list: points per intersection (>= 3). End pinning follows the
-    segment's dominant parametric direction on side A (the reference's
-    edge-constraint bookkeeping, GOLDFISH/cpiga2xi.py:142-203)."""
+    """specs: InterfaceSpec-like objects — straight segments
+    (xi_ends_*) or general CURVED parametric polylines (xi_pts_*, the
+    reference's intersections_para_coords format); n_pts_list: points
+    per intersection (>= 3). End pinning follows each END SEGMENT's
+    dominant parametric direction on side A (the reference's
+    edge-constraint bookkeeping, GOLDFISH/cpiga2xi.py:142-203) — for a
+    curved polyline the two ends may pin different coordinates."""
+    from goldfish_tpu.physics.coupling import (
+        polyline_interp,
+        spec_polylines,
+    )
+
     I = len(specs)
     N = max(n_pts_list)
     pairA = np.zeros(I, dtype=np.int32)
@@ -75,14 +83,17 @@ def build_moving_intersections(specs, n_pts_list, dtype=jnp.float64):
         n = int(n_pts[i])
         assert n >= 3
         mask[i, :n] = 1.0
-        eA = np.asarray(spec.xi_ends_A, dtype=np.float64)
-        eB = np.asarray(spec.xi_ends_B, dtype=np.float64)
-        dirA = int(np.argmax(np.abs(eA[1] - eA[0])))
-        end_dir[i] = (dirA, dirA)
-        end_val[i] = (eA[0, dirA], eA[1, dirA])
+        plA, plB = spec_polylines(spec)
         s = np.linspace(0.0, 1.0, n)
-        xi0[i, :n, 0, :] = (1 - s)[:, None] * eA[0] + s[:, None] * eA[1]
-        xi0[i, :n, 1, :] = (1 - s)[:, None] * eB[0] + s[:, None] * eB[1]
+        xi0[i, :n, 0, :], _ = polyline_interp(plA, s)
+        xi0[i, :n, 1, :], _ = polyline_interp(plB, s)
+        # per-end pinned coordinate: the end segment's DOMINANT
+        # (along-curve) direction is held at its end value, leaving
+        # the transverse coordinate free to slide along the edge
+        d0 = np.abs(plA[1] - plA[0])
+        d1 = np.abs(plA[-1] - plA[-2])
+        end_dir[i] = (int(np.argmax(d0)), int(np.argmax(d1)))
+        end_val[i] = (plA[0, end_dir[i, 0]], plA[-1, end_dir[i, 1]])
         xi0[i, n:] = xi0[i, n - 1]  # padded points sit at the last real one
     return MovingIntersections(
         pairA=jnp.asarray(pairA), pairB=jnp.asarray(pairB),

@@ -116,13 +116,22 @@ class Preprocessor:
             A = surfs[ia]
             SA = _eval_many(A, grid, nd=0)[(0, 0)]
             loA, hiA = A.bounds()
+            # DETECTION tolerance: half the physical sample spacing —
+            # a curve can pass up to that far from every grid sample
+            # (tight `tol` is for VERIFICATION of traced curves only;
+            # without this split, curved curves between grid lines are
+            # silently missed)
+            SAg = SA.reshape(n_sample, n_sample, 3)
+            sp_u = np.linalg.norm(np.diff(SAg, axis=0), axis=-1).max()
+            sp_v = np.linalg.norm(np.diff(SAg, axis=1), axis=-1).max()
+            det_tol = max(tol, 0.75 * max(sp_u, sp_v))
             for ib in range(ia + 1, len(surfs)):
                 B = surfs[ib]
                 loB, hiB = B.bounds()
                 if np.any(loA > hiB + tol) or np.any(loB > hiA + tol):
                     continue
                 uvB, dist = closest_point_projection(B, SA)
-                hits = dist < tol
+                hits = dist < det_tol
                 if hits.sum() < 3:
                     continue
                 seg = self._fit_segment(A, B, grid[hits], tol)
@@ -148,10 +157,21 @@ class Preprocessor:
                 if xiA is None:
                     continue
             else:
+                # transversal curve: MARCH along it (handles curved
+                # parametric curves, not just straight segments), then
+                # equal-arc-length polish via the CPIGA2Xi solve seeded
+                # with the traced polyline
+                xiA, xiB = self._trace_curve(
+                    self.surfs[ia], self.surfs[ib], endsA, n, tol)
+                if xiA is None:
+                    continue
                 import jax.numpy as jnp
 
                 spec = InterfaceSpec(pair=(0, 1), xi_ends_A=endsA,
-                                     xi_ends_B=endsB, n_mortar_el=nel)
+                                     xi_ends_B=np.stack(
+                                         [xiB[0], xiB[-1]]),
+                                     n_mortar_el=nel,
+                                     xi_pts_A=xiA, xi_pts_B=xiB)
                 c2x = CPIGA2Xi([self.surfs[ia], self.surfs[ib]], [spec],
                                n_pts_list=[n])
                 max_cp = c2x.ss.w.shape[1]
@@ -161,10 +181,10 @@ class Preprocessor:
                     cp[k, : flat.shape[0]] = flat
                 x = c2x.solve(jnp.asarray(cp))
                 res = c2x.residual_norm(jnp.asarray(cp), x)
-                if not np.isfinite(res) or res > 1e-6 * max(diag, 1.0):
-                    continue  # projection-degenerate; skip pair
-                xi = np.asarray(x).reshape(-1, 2, 2)[:n]
-                xiA, xiB = xi[:, 0, :], xi[:, 1, :]
+                if np.isfinite(res) and res <= 1e-6 * max(diag, 1.0):
+                    xi = np.asarray(x).reshape(-1, 2, 2)[:n]
+                    xiA, xiB = xi[:, 0, :], xi[:, 1, :]
+                # else keep the traced polyline (graph-over-chord)
             phys = _eval_many(self.surfs[ia], xiA, nd=0)[(0, 0)]
 
             self.mapping_list.append([ia, ib])
@@ -221,6 +241,60 @@ class Preprocessor:
         if phys_len < 10 * tol:
             return None
         return (np.stack([endA0, endA1]), uvB, phys_len)
+
+    def _trace_curve(self, A, B, endsA, n, tol):
+        """March along a (possibly CURVED) transversal intersection:
+        n points seeded on the A-side chord, each Newton-corrected onto
+        the true curve. Unknowns per point: (uvA, uvB); equations:
+        F_A(uvA) - F_B(uvB) = 0 (3) + chord-coordinate constraint
+        (uvA - chord(t)) . e1 = 0 (1) — the correction moves uvA only
+        TRANSVERSE to the chord, so curved curves that are graphs over
+        their chord are captured exactly (the reference gets these
+        polylines from OCC; reference usage
+        demos_om/shape_opt_mint/T-beam/T_beam_2patch_shopt_mi_curved.py).
+        Returns (xiA, xiB) polylines or (None, None)."""
+        e1 = endsA[1] - endsA[0]
+        ln = np.linalg.norm(e1)
+        if ln < 1e-14:
+            return None, None
+        e1 = e1 / ln
+        t = np.linspace(0.0, 1.0, n)
+        chord = (1 - t)[:, None] * endsA[0] + t[:, None] * endsA[1]
+        X0 = _eval_many(A, chord, nd=0)[(0, 0)]
+        uvB, _ = closest_point_projection(B, X0)
+        uvA = chord.copy()
+
+        for _ in range(30):
+            FA = _eval_many(A, uvA, nd=1)
+            FB = _eval_many(B, uvB, nd=1)
+            r3 = FA[(0, 0)] - FB[(0, 0)]                 # (n, 3)
+            r1 = np.einsum("nk,k->n", uvA - chord, e1)   # (n,)
+            rn = np.sqrt(np.sum(r3**2, -1) + r1**2)
+            if np.max(rn) < 1e-12 * max(1.0, np.max(np.abs(X0))):
+                break
+            # batched 4x4 Newton
+            J = np.zeros((n, 4, 4))
+            J[:, :3, 0] = FA[(1, 0)]
+            J[:, :3, 1] = FA[(0, 1)]
+            J[:, :3, 2] = -FB[(1, 0)]
+            J[:, :3, 3] = -FB[(0, 1)]
+            J[:, 3, 0] = e1[0]
+            J[:, 3, 1] = e1[1]
+            rhs = np.concatenate([r3, r1[:, None]], axis=1)
+            try:
+                dx = np.linalg.solve(J, rhs[..., None])[..., 0]
+            except np.linalg.LinAlgError:
+                return None, None
+            uvA = np.clip(uvA - dx[:, :2], 0.0, 1.0)
+            uvB = np.clip(uvB - dx[:, 2:], 0.0, 1.0)
+        else:
+            return None, None
+        # verify physical coincidence
+        XA = _eval_many(A, uvA, nd=0)[(0, 0)]
+        XB = _eval_many(B, uvB, nd=0)[(0, 0)]
+        if np.max(np.linalg.norm(XA - XB, axis=-1)) > tol:
+            return None, None
+        return uvA, uvB
 
     @staticmethod
     def _is_edge_segment(ends, tol=1e-9):
@@ -299,8 +373,10 @@ class Preprocessor:
 
     # --------------------------------------------------------- adapters
     def interface_specs(self):
-        """Straight-segment InterfaceSpecs for the fixed-intersection
-        path (ends from the refined curves)."""
+        """InterfaceSpecs carrying the FULL refined parametric
+        polylines (curved curves included; the reference feeds
+        intersections_para_coords the same way,
+        GOLDFISH/cpiga2xi.py:43-57)."""
         from goldfish_tpu.physics.coupling import InterfaceSpec
 
         specs = []
@@ -311,5 +387,6 @@ class Preprocessor:
                 pair=tuple(pair),
                 xi_ends_A=np.stack([xiA[0], xiA[-1]]),
                 xi_ends_B=np.stack([xiB[0], xiB[-1]]),
-                n_mortar_el=int(nel)))
+                n_mortar_el=int(nel),
+                xi_pts_A=np.asarray(xiA), xi_pts_B=np.asarray(xiB)))
         return specs

@@ -7,11 +7,23 @@ Requires the optional `csdl_alpha` dependency.
 
 from goldfish_tpu.csdl_models.models import (  # noqa: F401
     ComplianceModel,
+    CPFE2IGAModel,
+    CPFFD2SurfModel,
+    CPFFDAlignModel,
+    CPFFDPinModel,
+    CPFFDReguModel,
+    CPIGA2XiModel,
+    DispMintStatesModel,
     DispStatesModel,
+    HthFE2IGAModel,
+    HthFFD2FEModel,
+    HthFFDAlignModel,
+    HthFFDReguModel,
     HthMapModel,
     IntEnergyModel,
     LinearMapModel,
     MaxvMStressModel,
+    VMStressModel,
     VolumeModel,
 )
 from goldfish_tpu.solver.system import NonMatchingSystem  # noqa: F401

@@ -12,12 +12,22 @@ from goldfish_tpu.om_comps.components import (  # noqa: F401
     CPFFDAlignComp,
     CPFFDPinComp,
     CPFFDReguComp,
+    CPIGA2XiComp,
+    CPSurfAlignComp,
+    CPSurfDistanceComp,
+    CPSurfKnotRefienmentComp,
+    CPSurfOrderElevationComp,
+    CPSurfPinComp,
+    CPSurfReguComp,
+    DispMintStatesComp,
     DispStatesComp,
     HthFE2IGAComp,
     HthFFD2FEComp,
     HthFFDAlignComp,
     HthFFDReguComp,
+    HthMapComp,
     IntEnergyComp,
+    IntXiEdgeComp,
     MaxvMStressComp,
     VolumeComp,
 )

@@ -22,9 +22,17 @@ Notes on fidelity:
 from __future__ import annotations
 
 import numpy as np
-import openmdao.api as om
+
+try:  # real OpenMDAO when installed; executing shim otherwise
+    import openmdao.api as om
+except ModuleNotFoundError:  # pragma: no cover - environment-dependent
+    from goldfish_tpu.om_shim import api as om
 
 from goldfish_tpu.operations.disp_imop import DispImOperation
+from goldfish_tpu.operations.disp_mi_imop import (
+    CPIGA2XiImOperation,
+    DispMintImOperation,
+)
 from goldfish_tpu.operations.exops import (
     ComplianceExOperation,
     IntEnergyExOperation,
@@ -33,10 +41,14 @@ from goldfish_tpu.operations.exops import (
 )
 
 __all__ = [
-    "DispStatesComp", "IntEnergyComp", "VolumeComp", "ComplianceComp",
+    "DispStatesComp", "DispMintStatesComp", "CPIGA2XiComp",
+    "IntXiEdgeComp", "IntEnergyComp", "VolumeComp", "ComplianceComp",
     "MaxvMStressComp", "CPFE2IGAComp", "HthFE2IGAComp", "HthFFD2FEComp",
-    "CPFFD2SurfComp", "CPFFDAlignComp", "CPFFDPinComp", "CPFFDReguComp",
-    "HthFFDAlignComp", "HthFFDReguComp",
+    "HthMapComp", "CPFFD2SurfComp", "CPFFDAlignComp", "CPFFDPinComp",
+    "CPFFDReguComp", "HthFFDAlignComp", "HthFFDReguComp",
+    "CPSurfAlignComp", "CPSurfOrderElevationComp",
+    "CPSurfKnotRefienmentComp", "CPSurfReguComp", "CPSurfPinComp",
+    "CPSurfDistanceComp",
 ]
 
 
@@ -111,6 +123,140 @@ class DispStatesComp(om.ImplicitComponent):
                 d_outputs[self.u_name])
 
 
+class CPIGA2XiComp(om.ImplicitComponent):
+    """Implicit CP -> xi solve (reference:
+    GOLDFISH/om_comps/cpiga2xi_comp.py:48-102)."""
+
+    def initialize(self):
+        self.options.declare("nonmatching_sys")
+        self.options.declare("input_cp_name", default="CP_IGA")
+        self.options.declare("output_xi_name", default="int_para_coords")
+
+    def init_parameters(self):
+        self.op = CPIGA2XiImOperation(self.options["nonmatching_sys"])
+        self.cp_name = self.options["input_cp_name"]
+        self.xi_name = self.options["output_xi_name"]
+
+    def setup(self):
+        op = self.op
+        self.add_input(self.cp_name, shape=op.layout.n_flat * 3,
+                       val=np.asarray(
+                           op.layout.to_flat(op.sys.cp)).ravel())
+        self.add_output(self.xi_name, shape=op.xi_size,
+                        val=np.asarray(op.c2x.xi0_flat).ravel())
+        self.declare_partials(self.xi_name, self.cp_name)
+        self.declare_partials(self.xi_name, self.xi_name)
+
+    def apply_nonlinear(self, inputs, outputs, residuals):
+        residuals[self.xi_name] = self.op.apply_nonlinear(
+            inputs[self.cp_name], outputs[self.xi_name])
+
+    def solve_nonlinear(self, inputs, outputs):
+        outputs[self.xi_name] = self.op.solve_nonlinear(
+            inputs[self.cp_name])
+
+    def linearize(self, inputs, outputs, partials):
+        self.op.linearize(inputs[self.cp_name], outputs[self.xi_name])
+
+    def apply_linear(self, inputs, outputs, d_inputs, d_outputs,
+                     d_residuals, mode):
+        if mode == "fwd":
+            d_residuals[self.xi_name] += self.op.apply_linear_fwd(
+                d_inputs.get(self.cp_name), d_outputs.get(self.xi_name))
+        else:
+            cp_b, xi_b = self.op.apply_linear_rev(
+                d_residuals[self.xi_name])
+            if self.cp_name in d_inputs:
+                d_inputs[self.cp_name] += cp_b
+            if self.xi_name in d_outputs:
+                d_outputs[self.xi_name] += xi_b
+
+    def solve_linear(self, d_outputs, d_residuals, mode):
+        if mode == "fwd":
+            d_outputs[self.xi_name] = self.op.solve_linear_fwd(
+                d_residuals[self.xi_name])
+        else:
+            d_residuals[self.xi_name] = self.op.solve_linear_rev(
+                d_outputs[self.xi_name])
+
+
+class DispMintStatesComp(om.ImplicitComponent):
+    """Implicit displacement states with moving intersections
+    (reference: GOLDFISH/om_comps/disp_states_mi_comp.py:1-259 — the
+    update_xi + update_transfer_matrices machinery collapses into the
+    xi-parametrized residual of solver/system_mi.py)."""
+
+    def initialize(self):
+        self.options.declare("nonmatching_sys")
+        self.options.declare("input_cp_name", default="CP_IGA")
+        self.options.declare("input_h_th_name", default="thickness_IGA")
+        self.options.declare("input_xi_name", default="int_para_coords")
+        self.options.declare("output_u_name", default="displacements")
+        self.options.declare("rtol", default=1e-10)
+
+    def init_parameters(self, save_files=False):
+        self.op = DispMintImOperation(self.options["nonmatching_sys"],
+                                      rtol=self.options["rtol"])
+        self.cp_name = self.options["input_cp_name"]
+        self.h_name = self.options["input_h_th_name"]
+        self.xi_name = self.options["input_xi_name"]
+        self.u_name = self.options["output_u_name"]
+
+    def setup(self):
+        op = self.op
+        sys = op.sys
+        self.add_input(self.cp_name, shape=op.vec_size,
+                       val=np.asarray(op.layout.to_flat(sys.cp)).ravel())
+        self.add_input(self.h_name, shape=op.layout.n_flat,
+                       val=np.asarray(op.layout.to_flat(
+                           sys.h_init[..., None])).ravel())
+        self.add_input(self.xi_name,
+                       shape=int(np.prod(sys.c2x.xi0_flat.shape)),
+                       val=np.asarray(sys.c2x.xi0_flat).ravel())
+        self.add_output(self.u_name, shape=op.vec_size)
+        self.declare_partials(self.u_name, "*")
+
+    def apply_nonlinear(self, inputs, outputs, residuals):
+        residuals[self.u_name] = self.op.apply_nonlinear(
+            inputs[self.cp_name], inputs[self.h_name],
+            inputs[self.xi_name], outputs[self.u_name])
+
+    def solve_nonlinear(self, inputs, outputs):
+        outputs[self.u_name] = self.op.solve_nonlinear(
+            inputs[self.cp_name], inputs[self.h_name],
+            inputs[self.xi_name], outputs[self.u_name])
+
+    def linearize(self, inputs, outputs, partials):
+        self.op.linearize(inputs[self.cp_name], inputs[self.h_name],
+                          inputs[self.xi_name], outputs[self.u_name])
+
+    def apply_linear(self, inputs, outputs, d_inputs, d_outputs,
+                     d_residuals, mode):
+        if mode == "fwd":
+            d_residuals[self.u_name] += self.op.apply_linear_fwd(
+                d_inputs.get(self.cp_name), d_inputs.get(self.h_name),
+                d_inputs.get(self.xi_name), d_outputs.get(self.u_name))
+        else:
+            cp_b, h_b, xi_b, d_b = self.op.apply_linear_rev(
+                d_residuals[self.u_name])
+            if self.cp_name in d_inputs:
+                d_inputs[self.cp_name] += cp_b
+            if self.h_name in d_inputs:
+                d_inputs[self.h_name] += h_b
+            if self.xi_name in d_inputs:
+                d_inputs[self.xi_name] += xi_b
+            if self.u_name in d_outputs:
+                d_outputs[self.u_name] += d_b
+
+    def solve_linear(self, d_outputs, d_residuals, mode):
+        if mode == "fwd":
+            d_outputs[self.u_name] = self.op.solve_linear_fwd(
+                d_residuals[self.u_name])
+        else:
+            d_residuals[self.u_name] = self.op.solve_linear_rev(
+                d_outputs[self.u_name])
+
+
 class _ObjectiveComp(om.ExplicitComponent):
     """Shared explicit-objective adapter (state + cp + h -> scalar)."""
 
@@ -135,9 +281,13 @@ class _ObjectiveComp(om.ExplicitComponent):
 
     def setup(self):
         op = self.op
+        sys = self.options["nonmatching_sys"]
         n = op.layout.n_flat
-        self.add_input(self.cp_name, shape=n * 3)
-        self.add_input(self.h_name, shape=n)
+        self.add_input(self.cp_name, shape=n * 3,
+                       val=np.asarray(op.layout.to_flat(sys.cp)).ravel())
+        self.add_input(self.h_name, shape=n,
+                       val=np.asarray(op.layout.to_flat(
+                           sys.h_init[..., None])).ravel())
         self.add_input(self.u_name, shape=n * 3)
         self.add_output(self.out_name)
         self.declare_partials(self.out_name, "*")
@@ -252,3 +402,174 @@ class HthFFDAlignComp(_LinearMapComp):
 
 class HthFFDReguComp(_LinearMapComp):
     pass
+
+
+class HthMapComp(_LinearMapComp):
+    """Per-patch constant thickness -> flat per-CP thickness vector
+    (reference: GOLDFISH/om_comps/ffd_comps/hth_map_comp.py:48-56 — a
+    block of ones per patch)."""
+
+    def initialize(self):
+        super().initialize()
+        self.options.declare("nonmatching_sys")
+        self.options["input_name"] = "h_th"
+        self.options["output_name"] = "h_th_iga"
+
+    def init_parameters(self):
+        sys = self.options["nonmatching_sys"]
+        from goldfish_tpu.design.pipeline import CPLayout
+
+        lay = CPLayout(sys.metas, sys.stack.max_cp)
+        P = sys.num_splines
+        A = np.zeros((lay.n_flat, P))
+        off = 0
+        for p, m in enumerate(sys.metas):
+            A[off:off + m.n_cp, p] = 1.0
+            off += m.n_cp
+        self.options["A"] = A
+        super().init_parameters()
+
+
+class IntXiEdgeComp(om.ExplicitComponent):
+    """Edge-type xi equality constraint: xi[edge dofs] - edge vals = 0
+    with a constant 0/1 Jacobian (reference:
+    GOLDFISH/om_comps/int_xi_edge_comp.py:40-53)."""
+
+    def initialize(self):
+        self.options.declare("nonmatching_sys")
+        self.options.declare("input_xi_name", default="int_para_coords")
+        self.options.declare("output_name", default="int_xi_edge")
+
+    def init_parameters(self):
+        from goldfish_tpu.geometry.cpiga2xi import xi_edge_constraints
+
+        sys = self.options["nonmatching_sys"]
+        self.xi_name = self.options["input_xi_name"]
+        self.out_name = self.options["output_name"]
+        self.xi_size = int(np.prod(sys.c2x.xi0_flat.shape))
+        self.dofs, self.vals = xi_edge_constraints(sys.mi)
+        self.output_shape = len(self.dofs)
+
+    def setup(self):
+        self.add_input(self.xi_name, shape=self.xi_size)
+        self.add_output(self.out_name, shape=max(self.output_shape, 1))
+        A = np.zeros((max(self.output_shape, 1), self.xi_size))
+        A[np.arange(self.output_shape), self.dofs] = 1.0
+        self._A = A
+        self.declare_partials(self.out_name, self.xi_name, val=A)
+
+    def compute(self, inputs, outputs):
+        if self.output_shape:
+            outputs[self.out_name] = (
+                inputs[self.xi_name][self.dofs] - self.vals)
+
+
+class _SurfPipelineComp(_LinearMapComp):
+    """Base for the CPSurfDesign2Analysis-wrapping comps (reference:
+    GOLDFISH/om_comps/surf_comps/*): constant per-surface operator,
+    block-diagonal over the optimized surfaces and stacked over fields.
+    """
+
+    matrix_of = None  # staticmethod(d2a, i) -> per-surface matrix
+
+    def initialize(self):
+        super().initialize()
+        self.options.declare("design2analysis")
+        self.options.declare("fields", default=(0, 1, 2))
+
+    def init_parameters(self):
+        d2a = self.options["design2analysis"]
+        mats = [np.asarray(self.matrix_of(d2a, i))
+                for i in d2a.surf_inds]
+        n_out = sum(m.shape[0] for m in mats)
+        n_in = sum(m.shape[1] for m in mats)
+        blk = np.zeros((n_out, n_in))
+        ro = co = 0
+        for m in mats:
+            blk[ro:ro + m.shape[0], co:co + m.shape[1]] = m
+            ro += m.shape[0]
+            co += m.shape[1]
+        n_f = len(self.options["fields"])
+        A = np.kron(np.eye(n_f), blk)
+        self.options["A"] = A
+        super().init_parameters()
+
+
+class CPSurfAlignComp(_SurfPipelineComp):
+    """Design-grid CP alignment rows (reference:
+    surf_comps/cpsurf_align_comp.py; axis via option)."""
+
+    def initialize(self):
+        super().initialize()
+        self.options.declare("align_axis", default=0)
+
+    @staticmethod
+    def _align(d2a, i, axis):
+        return d2a.align_rows(i, axis)
+
+    def init_parameters(self):
+        axis = self.options["align_axis"]
+        self.matrix_of = staticmethod(
+            lambda d2a, i: d2a.align_rows(i, axis)).__func__
+        super().init_parameters()
+
+
+class CPSurfOrderElevationComp(_SurfPipelineComp):
+    """Design CP -> order-elevated CP (reference:
+    surf_comps/cpsurf_order_elevation_comp.py)."""
+
+    matrix_of = staticmethod(lambda d2a, i: d2a.elevation_matrix(i))
+
+
+class CPSurfKnotRefienmentComp(_SurfPipelineComp):
+    """Elevated CP -> analysis CP (reference file name kept verbatim:
+    surf_comps/cpsurf_knot_refienment_comp.py)."""
+
+    matrix_of = staticmethod(lambda d2a, i: d2a.refinement_matrix(i))
+
+
+class CPSurfReguComp(_SurfPipelineComp):
+    """Consecutive-difference regularization rows (>= eps)."""
+
+    def initialize(self):
+        super().initialize()
+        self.options.declare("regu_axis", default=0)
+
+    def init_parameters(self):
+        axis = self.options["regu_axis"]
+        self.matrix_of = staticmethod(
+            lambda d2a, i: d2a.regu_rows(i, axis)).__func__
+        super().init_parameters()
+
+
+class CPSurfPinComp(_SurfPipelineComp):
+    """Pinned design-dof selection rows."""
+
+    def initialize(self):
+        super().initialize()
+        self.options.declare("pinned", default={})
+
+    def init_parameters(self):
+        pinned = self.options["pinned"]
+        self.matrix_of = staticmethod(
+            lambda d2a, i: d2a.pin_rows(i, pinned.get(i, ()))).__func__
+        super().init_parameters()
+
+
+class CPSurfDistanceComp(_LinearMapComp):
+    """Inter-surface design-CP distance rows between one surface pair
+    (reference: surf_comps/cpsurf_distance_comp.py)."""
+
+    def initialize(self):
+        super().initialize()
+        self.options.declare("design2analysis")
+        self.options.declare("pair", default=(0, 1))
+
+    def init_parameters(self):
+        d2a = self.options["design2analysis"]
+        i, j = self.options["pair"]
+        self.options["A"] = d2a.dist_rows(i, j)
+        super().init_parameters()
+
+
+CPSurfKnotRefinementComp = CPSurfKnotRefienmentComp  # corrected-name alias

@@ -1,0 +1,699 @@
+"""Minimal OpenMDAO-compatible execution runtime.
+
+OpenMDAO itself is not installable in this environment (no network), so
+this module provides a REAL, executing implementation of the exact API
+subset the GOLDFISH component/driver layer uses (reference usage:
+/root/reference/demos_om/thickness_opt/plate/plate_var_th_opt_wint.py:
+338-364 and GOLDFISH/om_comps/*). `goldfish_tpu.om_comps` imports real
+OpenMDAO when available and falls back to this shim, so the adapter
+layer is executed and derivative-checked either way — not compile-time-
+only code.
+
+Implemented semantics (matching OpenMDAO where it matters):
+  - Component lifecycle: initialize -> options -> setup ->
+    add_input/add_output/declare_partials.
+  - ExplicitComponent: compute, compute_partials (dense sub-Jacobians
+    keyed (of, wrt)), or constant `val=` partials from declare_partials.
+  - ImplicitComponent: apply_nonlinear, solve_nonlinear, linearize,
+    apply_linear (fwd/rev), solve_linear (fwd/rev) — the 6-method
+    implicit protocol.
+  - Group: add_subsystem, connect("comp.var", "comp.var"),
+    add_design_var/add_constraint/add_objective (with scaler, bounds).
+  - Problem: setup, run_model, run_driver, __getitem__/__setitem__,
+    compute_totals, check_partials, check_totals.
+  - ScipyOptimizeDriver: SLSQP via scipy.optimize.minimize with
+    analytic total Jacobians from reverse-mode accumulation over the
+    component DAG (the role of OpenMDAO's linear solves).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["IndepVarComp", "ExplicitComponent", "ImplicitComponent",
+           "Group", "Problem", "ScipyOptimizeDriver", "api"]
+
+
+class OptionsDictionary(dict):
+    def declare(self, name, default=None, **kwargs):
+        self.setdefault(name, default)
+
+
+class _VarDict(dict):
+    """Mutable mapping handed to component callbacks."""
+
+    def __init__(self, names, store):
+        super().__init__()
+        self._store = store
+        for n in names:
+            super().__setitem__(n, store[n])
+
+    def __setitem__(self, k, v):
+        arr = np.asarray(v, dtype=float).reshape(self._store[k].shape)
+        self._store[k] = arr
+        super().__setitem__(k, arr)
+
+    def get(self, k, default=None):
+        return super().get(k, default)
+
+    def flush(self):
+        for k in self:
+            self._store[k] = np.asarray(super().__getitem__(k))
+
+
+class _Component:
+    """Shared variable bookkeeping."""
+
+    def __init__(self, **kwargs):
+        self.options = OptionsDictionary()
+        self.initialize()
+        for k, v in kwargs.items():
+            self.options[k] = v
+        self.name = None
+        self._inputs = {}      # name -> np array (current values)
+        self._outputs = {}
+        self._partials_decl = {}
+        self._partials = {}    # (of, wrt) -> dense array
+
+    def initialize(self):
+        pass
+
+    def setup(self):
+        pass
+
+    def add_input(self, name, shape=None, val=None, **kw):
+        arr = _init_val(shape, val)
+        self._inputs[name] = arr
+
+    def add_output(self, name, shape=None, val=None, **kw):
+        arr = _init_val(shape, val)
+        self._outputs[name] = arr
+
+    def declare_partials(self, of, wrt, val=None, **kw):
+        self._partials_decl[(of, wrt)] = val
+        if of != "*" and wrt != "*" and val is not None:
+            v = np.asarray(val, dtype=float)
+            self._partials[(of, wrt)] = v
+
+    def _in_names(self):
+        return list(self._inputs)
+
+    def _out_names(self):
+        return list(self._outputs)
+
+
+def _init_val(shape, val):
+    if val is not None:
+        arr = np.atleast_1d(np.asarray(val, dtype=float)).ravel()
+        if shape is not None:
+            n = int(np.prod(np.atleast_1d(shape)))
+            if arr.size == 1 and n > 1:
+                arr = np.full(n, arr[0])
+            arr = arr.reshape(-1)
+        return arr
+    n = 1 if shape is None else int(np.prod(np.atleast_1d(shape)))
+    return np.zeros(n)
+
+
+class IndepVarComp(_Component):
+    """Independent variables: outputs only."""
+
+    def add_output(self, name, shape=None, val=None, **kw):
+        super().add_output(name, shape=shape, val=val)
+
+
+class ExplicitComponent(_Component):
+    def compute(self, inputs, outputs):
+        raise NotImplementedError
+
+    def compute_partials(self, inputs, partials):
+        pass
+
+    # -- runtime --
+    def _run(self):
+        ins = _VarDict(self._inputs, self._inputs)
+        outs = _VarDict(self._outputs, self._outputs)
+        self.compute(ins, outs)
+        outs.flush()
+
+    def _jacobian(self):
+        """Dense sub-Jacobians {(of, wrt): (n_of, n_wrt)}."""
+        pd = _PartialsDict(self)
+        self.compute_partials(_VarDict(self._inputs, self._inputs), pd)
+        return pd.as_dense(self)
+
+
+class ImplicitComponent(_Component):
+    def apply_nonlinear(self, inputs, outputs, residuals):
+        raise NotImplementedError
+
+    def solve_nonlinear(self, inputs, outputs):
+        raise NotImplementedError
+
+    def linearize(self, inputs, outputs, partials):
+        pass
+
+    def apply_linear(self, inputs, outputs, d_inputs, d_outputs,
+                     d_residuals, mode):
+        raise NotImplementedError
+
+    def solve_linear(self, d_outputs, d_residuals, mode):
+        raise NotImplementedError
+
+    def _run(self):
+        ins = _VarDict(self._inputs, self._inputs)
+        outs = _VarDict(self._outputs, self._outputs)
+        self.solve_nonlinear(ins, outs)
+        outs.flush()
+
+    def _linearize(self):
+        self.linearize(_VarDict(self._inputs, self._inputs),
+                       _VarDict(self._outputs, self._outputs), {})
+
+
+class _PartialsDict(dict):
+    """What compute_partials writes into."""
+
+    def __init__(self, comp):
+        super().__init__()
+        self._comp = comp
+
+    def __setitem__(self, key, val):
+        super().__setitem__(key, np.asarray(val, dtype=float))
+
+    def as_dense(self, comp):
+        out = dict(comp._partials)  # constant declared vals
+        for (of, wrt), v in self.items():
+            n_of = comp._outputs[of].size
+            n_wrt = comp._inputs[wrt].size
+            out[(of, wrt)] = v.reshape(n_of, n_wrt)
+        return out
+
+
+class Group:
+    """Flat group (subsystems + connections). Nested groups collapse:
+    add_subsystem of a Group inlines its children with dotted names."""
+
+    def __init__(self, **kwargs):
+        self._subs = {}          # name -> component
+        self._conn = {}          # target "comp.var" -> source "comp.var"
+        self._design_vars = {}   # "comp.var" -> dict
+        self._constraints = {}
+        self._objective = None
+        self.options = OptionsDictionary()
+        self.initialize()
+        for k, v in kwargs.items():
+            self.options[k] = v
+
+    def initialize(self):
+        pass
+
+    def setup(self):
+        pass
+
+    def add_subsystem(self, name, comp, promotes=None, **kw):
+        comp.name = name
+        self._subs[name] = comp
+        return comp
+
+    def connect(self, src, tgt):
+        self._conn[tgt] = src
+
+    def add_design_var(self, name, lower=None, upper=None, scaler=None,
+                       **kw):
+        self._design_vars[name] = dict(lower=lower, upper=upper,
+                                       scaler=scaler)
+
+    def add_constraint(self, name, equals=None, lower=None, upper=None,
+                       scaler=None, **kw):
+        self._constraints[name] = dict(equals=equals, lower=lower,
+                                       upper=upper, scaler=scaler)
+
+    def add_objective(self, name, scaler=None, **kw):
+        self._objective = (name, dict(scaler=scaler))
+
+
+class ScipyOptimizeDriver:
+    def __init__(self):
+        self.options = OptionsDictionary()
+        self.options.declare("optimizer", default="SLSQP")
+        self.options.declare("tol", default=1e-8)
+        self.options.declare("disp", default=True)
+        self.options.declare("maxiter", default=200)
+        self.opt_settings = {}
+
+
+class Problem:
+    def __init__(self, model=None):
+        self.model = model if model is not None else Group()
+        self.driver = ScipyOptimizeDriver()
+        self._order = None
+
+    # ---------- structure ----------
+    def setup(self, **kw):
+        self.model.setup()
+        for comp in self.model._subs.values():
+            comp.setup()
+        self._order = self._toposort()
+        return self
+
+    def _toposort(self):
+        subs = self.model._subs
+        deps = {n: set() for n in subs}
+        for tgt, src in self.model._conn.items():
+            tc, _ = tgt.split(".", 1)
+            sc, _ = src.split(".", 1)
+            if tc != sc:
+                deps[tc].add(sc)
+        order, done = [], set()
+
+        def visit(n, stack=()):
+            if n in done:
+                return
+            if n in stack:
+                raise RuntimeError(f"cycle through {n}")
+            for m in sorted(deps[n]):
+                visit(m, stack + (n,))
+            done.add(n)
+            order.append(n)
+
+        for n in sorted(subs):
+            visit(n)
+        return order
+
+    # ---------- values ----------
+    def _resolve(self, path):
+        cname, vname = path.split(".", 1)
+        comp = self.model._subs[cname]
+        if vname in comp._outputs:
+            return comp._outputs, vname, comp
+        if vname in comp._inputs:
+            return comp._inputs, vname, comp
+        raise KeyError(path)
+
+    def __getitem__(self, path):
+        store, vname, _ = self._resolve(path)
+        return store[vname]
+
+    def __setitem__(self, path, val):
+        store, vname, _ = self._resolve(path)
+        store[vname] = np.asarray(val, dtype=float).reshape(
+            store[vname].shape)
+
+    # ---------- nonlinear execution ----------
+    def _push_connections(self, comp_name):
+        comp = self.model._subs[comp_name]
+        for vname in comp._inputs:
+            tgt = f"{comp_name}.{vname}"
+            src = self.model._conn.get(tgt)
+            if src is not None:
+                comp._inputs[vname] = np.asarray(
+                    self[src], dtype=float).reshape(
+                        comp._inputs[vname].shape)
+
+    def run_model(self):
+        for name in self._order:
+            comp = self.model._subs[name]
+            self._push_connections(name)
+            if hasattr(comp, "_run"):
+                comp._run()
+
+    # ---------- derivatives ----------
+    def _linearize_all(self):
+        jacs = {}
+        for name in self._order:
+            comp = self.model._subs[name]
+            if isinstance(comp, ExplicitComponent):
+                jacs[name] = comp._jacobian()
+            elif isinstance(comp, ImplicitComponent):
+                comp._linearize()
+        return jacs
+
+    def compute_totals(self, of, wrt, jacs=None):
+        """Reverse-mode totals over the DAG: {(of, wrt): dense}.
+
+        of/wrt: lists of "comp.var" paths (outputs / design vars)."""
+        if jacs is None:
+            jacs = self._linearize_all()
+        totals = {}
+        for of_path in of:
+            bars = self._reverse_sweep(of_path, jacs)
+            for wrt_path in wrt:
+                n_of = self[of_path].size
+                n_wrt = self[wrt_path].size
+                totals[(of_path, wrt_path)] = bars.get(
+                    wrt_path, np.zeros((n_of, n_wrt)))
+        return totals
+
+    def _reverse_sweep(self, of_path, jacs):
+        """Seed each component of `of_path` and accumulate bars on every
+        upstream variable. bars: path -> (n_of, n_var)."""
+        n_of = self[of_path].size
+        bars = {of_path: np.eye(n_of)}
+
+        def bar_of(path):
+            return bars.get(path)
+
+        def add_bar(path, val):
+            if path in bars:
+                bars[path] = bars[path] + val
+            else:
+                bars[path] = val
+
+        for name in reversed(self._order):
+            comp = self.model._subs[name]
+            if isinstance(comp, IndepVarComp):
+                continue
+            # collect output bars of this comp
+            out_bars = {}
+            for vname in comp._outputs:
+                b = bar_of(f"{name}.{vname}")
+                if b is not None:
+                    out_bars[vname] = b
+            if not out_bars:
+                continue
+            if isinstance(comp, ExplicitComponent):
+                J = jacs[name]
+                for (of_v, wrt_v), sub in J.items():
+                    if of_v in out_bars and wrt_v in comp._inputs:
+                        add_bar(f"{name}.{wrt_v}", out_bars[of_v] @ sub)
+            else:  # implicit: d_in += -(dR/din)^T (dR/dout)^-T bar
+                for vname, b in out_bars.items():
+                    for row in range(b.shape[0]):
+                        d_in = self._implicit_pullback(comp, vname,
+                                                       b[row])
+                        for wrt_v, contrib in d_in.items():
+                            add_bar(f"{name}.{wrt_v}",
+                                    _row_into(b.shape[0], row, contrib))
+            # propagate across connections: input bars -> source outputs
+            for vname in comp._inputs:
+                tgt = f"{name}.{vname}"
+                b = bars.get(tgt)
+                if b is None:
+                    continue
+                src = self.model._conn.get(tgt)
+                if src is not None:
+                    add_bar(src, b)
+        return bars
+
+    def _implicit_pullback(self, comp, out_name, bar_row):
+        """One reverse linear solve + apply_linear for one seed row.
+
+        OpenMDAO semantics: psi = (dR/du)^-T bar ; d_in = -(dR/din)^T
+        psi. GOLDFISH implicit comps implement apply_linear so that
+        d_inputs receives +(dR/din)^T d_residuals and solve_linear rev
+        gives d_residuals = (dR/du)^-T d_outputs; the TOTAL derivative
+        chain through the solve is d_in = -(dR/din)^T (dR/du)^-T bar.
+        """
+        d_outputs = _Bag({out_name: bar_row.copy()})
+        d_residuals = _Bag({v: np.zeros_like(comp._outputs[v])
+                            for v in comp._outputs})
+        comp.solve_linear(d_outputs, d_residuals, "rev")
+        d_inputs = _Bag({v: np.zeros_like(comp._inputs[v])
+                         for v in comp._inputs})
+        d_out2 = _Bag({v: np.zeros_like(comp._outputs[v])
+                       for v in comp._outputs})
+        comp.apply_linear(_Bag(dict(comp._inputs)),
+                          _Bag(dict(comp._outputs)),
+                          d_inputs, d_out2, d_residuals, "rev")
+        return {v: -d_inputs[v] for v in d_inputs}
+
+    # ---------- driver ----------
+    def run_driver(self):
+        from scipy.optimize import minimize
+
+        model = self.model
+        dv_paths = list(model._design_vars)
+        assert model._objective is not None, "no objective set"
+        obj_path, obj_meta = model._objective
+        obj_scaler = obj_meta.get("scaler") or 1.0
+
+        sizes = [self[p].size for p in dv_paths]
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        scalers = [model._design_vars[p].get("scaler") or 1.0
+                   for p in dv_paths]
+
+        def set_x(x):
+            for p, s0, s1, sc in zip(dv_paths, offsets[:-1], offsets[1:],
+                                     scalers):
+                self[p] = x[s0:s1] / sc
+
+        def get_x():
+            return np.concatenate([
+                np.asarray(self[p]).ravel() * sc
+                for p, sc in zip(dv_paths, scalers)])
+
+        cons_paths = list(model._constraints)
+        state = {"x": None, "jacs": None}
+
+        def ensure(x):
+            if state["x"] is None or not np.array_equal(state["x"], x):
+                set_x(x)
+                self.run_model()
+                state["x"] = x.copy()
+                state["jacs"] = None
+
+        def ensure_jac(x):
+            ensure(x)
+            if state["jacs"] is None:
+                state["jacs"] = self._linearize_all()
+                state["totals"] = self.compute_totals(
+                    [obj_path] + cons_paths, dv_paths,
+                    jacs=state["jacs"])
+
+        def totals_row(of_path, scaler):
+            T = np.concatenate(
+                [state["totals"][(of_path, p)] / sc
+                 for p, sc in zip(dv_paths, scalers)], axis=1)
+            return T * scaler
+
+        def f(x):
+            ensure(x)
+            return float(self[obj_path]) * obj_scaler
+
+        def fgrad(x):
+            ensure_jac(x)
+            return totals_row(obj_path, obj_scaler)[0]
+
+        constraints = []
+        for cp in cons_paths:
+            meta = model._constraints[cp]
+            csc = meta.get("scaler") or 1.0
+
+            def make(cp=cp, meta=meta, csc=csc):
+                eq = meta.get("equals")
+                lo = meta.get("lower")
+                up = meta.get("upper")
+                out = []
+                if eq is not None:
+                    out.append(dict(
+                        type="eq",
+                        fun=lambda x: (_val(self, cp, x, ensure) -
+                                       np.atleast_1d(eq)) * csc,
+                        jac=lambda x: (ensure_jac(x),
+                                       totals_row(cp, csc))[1]))
+                if lo is not None:
+                    out.append(dict(
+                        type="ineq",
+                        fun=lambda x: (_val(self, cp, x, ensure) -
+                                       np.atleast_1d(lo)) * csc,
+                        jac=lambda x: (ensure_jac(x),
+                                       totals_row(cp, csc))[1]))
+                if up is not None:
+                    out.append(dict(
+                        type="ineq",
+                        fun=lambda x: (np.atleast_1d(up) -
+                                       _val(self, cp, x, ensure)) * csc,
+                        jac=lambda x: (ensure_jac(x),
+                                       -totals_row(cp, csc))[1]))
+                return out
+
+            constraints.extend(make())
+
+        bounds = None
+        if any(model._design_vars[p].get("lower") is not None
+               or model._design_vars[p].get("upper") is not None
+               for p in dv_paths):
+            bounds = []
+            for p, sc in zip(dv_paths, scalers):
+                lo = model._design_vars[p].get("lower")
+                up = model._design_vars[p].get("upper")
+                n = self[p].size
+                lo_arr = np.full(n, -np.inf) if lo is None \
+                    else np.broadcast_to(np.asarray(lo, float) * sc, (n,))
+                up_arr = np.full(n, np.inf) if up is None \
+                    else np.broadcast_to(np.asarray(up, float) * sc, (n,))
+                bounds.extend(zip(lo_arr, up_arr))
+
+        x0 = get_x()
+        res = minimize(
+            f, x0, jac=fgrad, method="SLSQP", bounds=bounds,
+            constraints=constraints,
+            options={"maxiter": int(self.driver.options["maxiter"]),
+                     "ftol": float(self.driver.options["tol"]),
+                     "disp": bool(self.driver.options["disp"])})
+        set_x(res.x)
+        self.run_model()
+        self._driver_result = res
+        return not res.success
+
+    # ---------- verification ----------
+    def check_partials(self, compact_print=False, step=1e-6,
+                       method="fd", out_stream=None):
+        """FD-verify every component's declared partials / linear ops.
+
+        Returns {comp: {(of, wrt): {'J_fwd':..., 'J_fd':...,
+        'rel error': namedtuple-like}}} approximating OpenMDAO."""
+        self.run_model()
+        jacs = self._linearize_all()
+        report = {}
+        for name in self._order:
+            comp = self.model._subs[name]
+            if isinstance(comp, IndepVarComp):
+                continue
+            report[name] = {}
+            if isinstance(comp, ExplicitComponent):
+                J = jacs[name]
+                for wrt in comp._inputs:
+                    base_in = {k: v.copy() for k, v in
+                               comp._inputs.items()}
+                    n_wrt = comp._inputs[wrt].size
+                    cols = {of: np.zeros((comp._outputs[of].size, n_wrt))
+                            for of in comp._outputs}
+                    for j in range(n_wrt):
+                        for sgn in (+1, -1):
+                            comp._inputs[wrt] = base_in[wrt].copy()
+                            comp._inputs[wrt][j] += sgn * step
+                            comp._run()
+                            for of in comp._outputs:
+                                cols[of][:, j] += sgn * \
+                                    comp._outputs[of] / (2 * step)
+                    comp._inputs[wrt] = base_in[wrt]
+                    comp._run()
+                    for of in comp._outputs:
+                        Jan = J.get((of, wrt))
+                        if Jan is None:
+                            continue
+                        report[name][(of, wrt)] = _errs(
+                            Jan, cols[of], compact_print, name, of, wrt)
+            else:
+                report[name].update(self._check_implicit(
+                    comp, step, compact_print))
+        return report
+
+    def _check_implicit(self, comp, step, compact_print):
+        """FD of apply_nonlinear vs apply_linear fwd for each input AND
+        the state; plus solve_linear consistency."""
+        out = {}
+        ins = {k: v.copy() for k, v in comp._inputs.items()}
+        outs = {k: v.copy() for k, v in comp._outputs.items()}
+
+        def residual():
+            r = _Bag({k: np.zeros_like(v)
+                      for k, v in comp._outputs.items()})
+            comp.apply_nonlinear(_Bag(dict(comp._inputs)),
+                                 _Bag(dict(comp._outputs)), r)
+            return r
+
+        rng = np.random.default_rng(0)
+        for wrt, store in [(w, comp._inputs) for w in comp._inputs] + \
+                          [(w, comp._outputs) for w in comp._outputs]:
+            v = rng.normal(size=store[wrt].size)
+            # FD directional derivative of R
+            store[wrt] = store[wrt] + step * v
+            rp = residual()
+            store[wrt] = store[wrt] - 2 * step * v
+            rm = residual()
+            store[wrt] = store[wrt] + step * v
+            fd = {k: (rp[k] - rm[k]) / (2 * step) for k in rp}
+            # analytic via apply_linear fwd
+            d_inputs = _Bag({k: np.zeros(comp._inputs[k].size)
+                             for k in comp._inputs})
+            d_outputs = _Bag({k: np.zeros(comp._outputs[k].size)
+                              for k in comp._outputs})
+            if wrt in comp._inputs:
+                d_inputs[wrt] = v
+            else:
+                d_outputs[wrt] = v
+            d_res = _Bag({k: np.zeros(comp._outputs[k].size)
+                          for k in comp._outputs})
+            comp.apply_linear(_Bag(dict(comp._inputs)),
+                              _Bag(dict(comp._outputs)),
+                              d_inputs, d_outputs, d_res, "fwd")
+            for of in comp._outputs:
+                out[(of, wrt)] = _errs(
+                    d_res[of].reshape(-1, 1), fd[of].reshape(-1, 1),
+                    compact_print, comp.name, of, wrt)
+        return out
+
+    def check_totals(self, of, wrt, step=1e-6, compact_print=False):
+        self.run_model()
+        totals = self.compute_totals(of, wrt)
+        report = {}
+        for wp in wrt:
+            base = np.asarray(self[wp]).copy()
+            for j in range(base.size):
+                for sgn in (+1, -1):
+                    x = base.copy()
+                    x[j] += sgn * step
+                    self[wp] = x
+                    self.run_model()
+                    for op in of:
+                        key = (op, wp)
+                        report.setdefault(key, np.zeros(
+                            (self[op].size, base.size)))
+                        report[key][:, j] += sgn * np.asarray(
+                            self[op]).ravel() / (2 * step)
+            self[wp] = base
+            self.run_model()
+        out = {}
+        for key, fd in report.items():
+            out[key] = _errs(totals[key], fd, compact_print,
+                             "totals", key[0], key[1])
+        return out
+
+
+def _val(prob, path, x, ensure):
+    ensure(x)
+    return np.atleast_1d(np.asarray(prob[path], dtype=float).ravel())
+
+
+def _row_into(n_rows, row, contrib):
+    out = np.zeros((n_rows, contrib.size))
+    out[row] = contrib
+    return out
+
+
+def _errs(Jan, Jfd, compact_print, comp, of, wrt):
+    Jan = np.asarray(Jan, dtype=float)
+    Jfd = np.asarray(Jfd, dtype=float).reshape(Jan.shape)
+    denom = max(np.linalg.norm(Jfd), 1e-300)
+    abs_err = float(np.linalg.norm(Jan - Jfd))
+    rel = abs_err / denom if denom > 1e-250 else abs_err
+    if compact_print:
+        print(f"  {comp:28s} d{of}/d{wrt:24s} rel err {rel:.3e}")
+    return {"J_fwd": Jan, "J_fd": Jfd,
+            "abs error": abs_err, "rel error": rel}
+
+
+class _Bag(dict):
+    """Attribute-free mapping with .get, supporting containment like
+    OpenMDAO's vectors."""
+
+    def __contains__(self, k):
+        return dict.__contains__(self, k)
+
+
+class _Api:
+    """`import goldfish_tpu.om_shim as om; om.api` mirrors
+    openmdao.api's namespace for the names the drivers use."""
+
+    IndepVarComp = IndepVarComp
+    ExplicitComponent = ExplicitComponent
+    ImplicitComponent = ImplicitComponent
+    Group = Group
+    Problem = Problem
+    ScipyOptimizeDriver = ScipyOptimizeDriver
+
+
+api = _Api()

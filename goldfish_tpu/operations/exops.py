@@ -19,7 +19,8 @@ from goldfish_tpu.physics import objectives
 from goldfish_tpu.solver.system import NonMatchingSystem
 
 __all__ = ["IntEnergyExOperation", "VolumeExOperation",
-           "ComplianceExOperation", "MaxvMStressExOperation"]
+           "ComplianceExOperation", "MaxvMStressExOperation",
+           "VMStressExOperation"]
 
 
 class _ExOpBase:
@@ -74,3 +75,58 @@ class MaxvMStressExOperation(_ExOpBase):
                          objectives.max_vm_stress(data, d, cp, h, rho=rho,
                                                   method=method,
                                                   through=through))
+
+
+class VMStressExOperation:
+    """Per-quadrature-point von Mises stress FIELD (vector output).
+
+    The reference returns per-patch stress vectors, not only the
+    aggregated scalar (reference: GOLDFISH/csdl_models/vmstress_model.py
+    :1-331); this operation exposes the same surface: compute() gives
+    the stacked real-qp stress values, jacobians() the dense
+    d(sigma)/d(cp, h, u) (jax.jacrev), and vjp() the adjoint product
+    for matrix-free consumers.
+    """
+
+    def __init__(self, system: NonMatchingSystem, through: str = "top"):
+        from goldfish_tpu.physics import kl_shell
+
+        self.system = system
+        self.data = system.data
+        self.layout = CPLayout(system.metas, system.stack.max_cp)
+        lay = self.layout
+        wq = np.asarray(system.stack.wq).reshape(-1)
+        self._keep = jnp.asarray(np.nonzero(wq > 0)[0], dtype=jnp.int32)
+        self.out_size = int(self._keep.size)
+
+        def flat_fn(cp_f, h_f, d_f):
+            cp = lay.to_padded(cp_f.reshape(-1, 3))
+            h = lay.to_padded(h_f)
+            d = lay.to_padded(d_f.reshape(-1, 3))
+            s = kl_shell.qp_stress_vm(self.data.stack, d, cp, h,
+                                      self.data.E, self.data.nu,
+                                      through=through)
+            return s.reshape(-1)[self._keep]
+
+        self._value = jax.jit(flat_fn)
+        self._jac = jax.jit(jax.jacrev(flat_fn, argnums=(0, 1, 2)))
+
+        def _vjp(cp_f, h_f, d_f, ct):
+            _, f = jax.vjp(flat_fn, cp_f, h_f, d_f)
+            return f(ct)
+
+        self._vjp = jax.jit(_vjp)
+
+    def compute(self, cp, h, d):
+        return np.asarray(self._value(jnp.asarray(cp), jnp.asarray(h),
+                                      jnp.asarray(d)))
+
+    def jacobians(self, cp, h, d):
+        """(dS/dcp, dS/dh, dS/dd) dense — demo-scale sizes only."""
+        J = self._jac(jnp.asarray(cp), jnp.asarray(h), jnp.asarray(d))
+        return tuple(np.asarray(x) for x in J)
+
+    def vjp(self, cp, h, d, ct):
+        out = self._vjp(jnp.asarray(cp), jnp.asarray(h), jnp.asarray(d),
+                        jnp.asarray(ct))
+        return tuple(np.asarray(x) for x in out)

@@ -32,17 +32,51 @@ from goldfish_tpu.ops.bspline import rational_basis_2d
 from goldfish_tpu.ops.quadrature import gauss_points_1d
 
 __all__ = ["InterfaceStack", "InterfaceSpec", "build_interfaces",
+           "spec_polylines", "polyline_interp",
            "penalty_energy", "interface_hessians"]
 
 
 class InterfaceSpec(NamedTuple):
-    """Host-side description of one patch-patch intersection with
-    physically-coincident straight parametric segments on both sides."""
+    """Host-side description of one patch-patch intersection.
+
+    Straight parametric segments are given by their endpoints
+    (xi_ends_*); GENERAL CURVED intersection curves carry full
+    parametric polylines (xi_pts_*, the reference's
+    `intersections_para_coords` format; reference:
+    GOLDFISH/cpiga2xi.py:43-57). When polylines are present they take
+    precedence and the endpoints are derived from them."""
 
     pair: tuple  # (patch_A, patch_B)
     xi_ends_A: np.ndarray  # (2, 2) segment endpoints in A's parametric space
     xi_ends_B: np.ndarray  # (2, 2)
     n_mortar_el: int       # quadrature resolution along the interface
+    xi_pts_A: np.ndarray | None = None  # (m, 2) parametric polyline
+    xi_pts_B: np.ndarray | None = None  # (m, 2)
+
+
+def spec_polylines(spec: InterfaceSpec):
+    """(ptsA, ptsB) polylines of a spec (2-point for straight segs)."""
+    if spec.xi_pts_A is not None:
+        return (np.asarray(spec.xi_pts_A, dtype=np.float64),
+                np.asarray(spec.xi_pts_B, dtype=np.float64))
+    return (np.asarray(spec.xi_ends_A, dtype=np.float64),
+            np.asarray(spec.xi_ends_B, dtype=np.float64))
+
+
+def polyline_interp(pts: np.ndarray, s: np.ndarray):
+    """Piecewise-linear interpolation of a (m, 2) polyline at curve
+    parameter s in [0, 1] (uniform per segment). Returns (xi, dxi/ds)."""
+    m = pts.shape[0]
+    if m == 2:
+        xi = (1 - s)[:, None] * pts[0] + s[:, None] * pts[1]
+        dxi = np.broadcast_to(pts[1] - pts[0], xi.shape)
+        return xi, np.array(dxi)
+    t = s * (m - 1)
+    j = np.clip(np.floor(t).astype(int), 0, m - 2)
+    f = (t - j)[:, None]
+    xi = (1 - f) * pts[j] + f * pts[j + 1]
+    dxi = (pts[j + 1] - pts[j]) * (m - 1)
+    return xi, dxi
 
 
 class InterfaceStack(NamedTuple):
@@ -103,12 +137,9 @@ def build_interfaces(
         iA, iB = spec.pair
         sA, sB = surfs[iA], surfs[iB]
         s, w = _segment_quadrature(spec.n_mortar_el, nq_per_el)
-        eA = np.asarray(spec.xi_ends_A, dtype=np.float64)
-        eB = np.asarray(spec.xi_ends_B, dtype=np.float64)
-        xiA = (1 - s)[:, None] * eA[0] + s[:, None] * eA[1]
-        xiB = (1 - s)[:, None] * eB[0] + s[:, None] * eB[1]
-        dxiA = np.broadcast_to(eA[1] - eA[0], xiA.shape)
-        dxiB = np.broadcast_to(eB[1] - eB[0], xiB.shape)
+        plA, plB = spec_polylines(spec)
+        xiA, dxiA = polyline_interp(plA, s)
+        xiB, dxiB = polyline_interp(plB, s)
 
         pA, qA = sA.degree
         pB, qB = sB.degree
@@ -254,12 +285,9 @@ def penalty_energy(ifs: InterfaceStack | None, d, cp, h_coef, E, nu=None):
     return jnp.sum(dens * ifs.w)
 
 
-def interface_hessians(ifs: InterfaceStack, d, cp, h_coef, E):
-    """Exact per-qp coupling stiffness blocks.
-
-    Returns (I, N, 6L, 6L): Hessian of (w * density) wrt the stacked
-    local vector [deA.ravel(), deB.ravel()].
-    """
+def _interface_hessians_ref(ifs: InterfaceStack, d, cp, h_coef, E):
+    """Reference implementation: vmapped jax.hessian over the 6L local
+    dofs (kept as the oracle for interface_hessians tests)."""
     deA, deB = _gather_sides(ifs, d)
     peA, peB = _gather_sides(ifs, cp)
     heA, heB = _gather_sides(ifs, h_coef[..., None])
@@ -285,3 +313,70 @@ def interface_hessians(ifs: InterfaceStack, d, cp, h_coef, E):
                ifs.dxiA, ifs.dxiB, deA, deB, peA, peB,
                heA[..., 0], heB[..., 0], E_int,
                ifs.ad_scale, ifs.ar_scale, ifs.w)
+
+
+def interface_hessians(ifs: InterfaceStack, d, cp, h_coef, E):
+    """Exact per-qp coupling stiffness blocks.
+
+    Returns (I, N, 6L, 6L): Hessian of (w * density) wrt the stacked
+    local vector [deA.ravel(), deB.ravel()].
+
+    Jet formulation (same trick as kl_shell.element_hessians): the
+    density depends on d only through the 18 scalars
+    z = (uA, uAu, uAv, uB, uBu, uBv), so each qp block is B^T H B with
+    H the 18x18 jet Hessian and B built from the stored basis rows.
+    """
+    deA, deB = _gather_sides(ifs, d)
+    peA, peB = _gather_sides(ifs, cp)
+    heA, heB = _gather_sides(ifs, h_coef[..., None])
+    E_int = jnp.maximum(E[ifs.pairA], E[ifs.pairB])
+    I_, N = ifs.w.shape
+    L = ifs.RA00.shape[-1]
+
+    ev = lambda R, c: jnp.einsum("inl,inlk->ink", R, c)
+    zA = jnp.stack([ev(ifs.RA00, deA), ev(ifs.RA10, deA),
+                    ev(ifs.RA01, deA)], axis=-2)        # (I, N, 3, 3)
+    zB = jnp.stack([ev(ifs.RB00, deB), ev(ifs.RB10, deB),
+                    ev(ifs.RB01, deB)], axis=-2)
+    XA = jnp.stack([ev(ifs.RA00, peA), ev(ifs.RA10, peA),
+                    ev(ifs.RA01, peA)], axis=-2)
+    XB = jnp.stack([ev(ifs.RB00, peB), ev(ifs.RB10, peB),
+                    ev(ifs.RB01, peB)], axis=-2)
+    hqA = jnp.einsum("inl,inl->in", ifs.RA00, heA[..., 0])
+    hqB = jnp.einsum("inl,inl->in", ifs.RB00, heB[..., 0])
+
+    def qp_val(zflat, Xa, Xb, dxa, dxb, ha, hb, Ei, ads, ars, wq):
+        z = zflat.reshape(6, 3)
+        # identity basis rows: the "locals" ARE the jet values; the
+        # density reads them through ev(R, c) with R = eye rows
+        one = jnp.ones((), dtype=zflat.dtype)
+        zero = jnp.zeros((), dtype=zflat.dtype)
+        # emulate qp_penalty_density on jets directly (L_jet = 3 with
+        # rows selecting value/d_u/d_v)
+        eyeA = jnp.eye(3, dtype=zflat.dtype)
+        dens = qp_penalty_density(
+            (eyeA[0], eyeA[1], eyeA[2]), (eyeA[0], eyeA[1], eyeA[2]),
+            dxa, dxb, z[:3], z[3:], Xa, Xb,
+            jnp.array([ha, zero * one, zero], dtype=zflat.dtype),
+            jnp.array([hb, zero, zero], dtype=zflat.dtype),
+            Ei, ads, ars)
+        return wq * dens
+
+    hess = jax.hessian(qp_val)
+    v = jax.vmap(jax.vmap(
+        hess, in_axes=(0,) * 7 + (None,) * 3 + (0,)),
+        in_axes=(0,) * 11)
+    H = v(jnp.concatenate([zA, zB], axis=-2).reshape(I_, N, 18),
+          XA, XB, ifs.dxiA, ifs.dxiB, hqA, hqB, E_int,
+          ifs.ad_scale, ifs.ar_scale, ifs.w)
+    H = H.reshape(I_, N, 6, 3, 6, 3)
+
+    RsA = jnp.stack([ifs.RA00, ifs.RA10, ifs.RA01], axis=-2)  # (I,N,3,L)
+    RsB = jnp.stack([ifs.RB00, ifs.RB10, ifs.RB01], axis=-2)
+    Rs = jnp.concatenate([
+        jnp.concatenate([RsA, jnp.zeros_like(RsA)], axis=-1),
+        jnp.concatenate([jnp.zeros_like(RsB), RsB], axis=-1),
+    ], axis=-2)                                          # (I, N, 6, 2L)
+    tmp = jnp.einsum("injxky,inkm->injxmy", H, Rs)
+    Ki = jnp.einsum("injxmy,injl->inlxmy", tmp, Rs)
+    return Ki.reshape(I_, N, 6 * L, 6 * L)

@@ -158,8 +158,9 @@ def internal_energy(stack: PatchStack, d, cp, h_coef, E, nu):
     return jnp.sum(Wpe)
 
 
-def element_hessians(stack: PatchStack, d, cp, h_coef, E, nu):
-    """Exact per-element stiffness blocks d2W/dd2: (P, E, 3L, 3L)."""
+def _element_hessians_ref(stack: PatchStack, d, cp, h_coef, E, nu):
+    """Reference implementation: vmapped jax.hessian over the 3L
+    element dofs (kept as the oracle for element_hessians tests)."""
     de = gather(d, stack.conn)
     pe = gather(cp, stack.conn)
     he = gather(h_coef[..., None], stack.conn)[..., 0]
@@ -174,6 +175,50 @@ def element_hessians(stack: PatchStack, d, cp, h_coef, E, nu):
     v = jax.vmap(jax.vmap(elem, in_axes=(0, 0, 0, 0, 0, None, None)),
                  in_axes=(0, 0, 0, 0, 0, 0, 0))
     return v(tuple(r for r in R6), de, pe, he, stack.wq, E, nu)
+
+
+def element_hessians(stack: PatchStack, d, cp, h_coef, E, nu):
+    """Exact per-element stiffness blocks d2W/dd2: (P, E, 3L, 3L).
+
+    Jet formulation: the energy density at a qp depends on d only
+    through the 15-component displacement jet z = (du, dv, duu, duv,
+    dvv), so Ke = sum_q B_q^T H_q B_q with H_q the 15x15 qp Hessian
+    (vmapped jax.hessian of a 15-var scalar) and B_q made of the basis
+    tables. This turns the per-dof Hessian (3L = 48 forward passes per
+    element) into tiny-jet Hessians + two MXU einsums — ~5x cheaper
+    than the dense jax.hessian path at bench scale."""
+    P, En, Q, L = stack.R00.shape
+    Xf = surface_fields(stack, cp)
+    uf = surface_fields(stack, d)
+    he = gather(h_coef[..., None], stack.conn)
+    h_qp = _contract(stack.R00, he)[..., 0]             # (P, E, Q)
+    keys = ("du", "dv", "duu", "duv", "dvv")
+    Xz = jnp.stack([Xf[k] for k in keys], axis=-2)      # (P, E, Q, 5, 3)
+    uz = jnp.stack([uf[k] for k in keys], axis=-2)
+
+    def qp_val(zflat, Xjet, hq, Ee, nue, wq):
+        z = zflat.reshape(5, 3)
+        zero = jnp.zeros(3, dtype=zflat.dtype)
+        ufq = {"v": zero, "du": z[0], "dv": z[1],
+               "duu": z[2], "duv": z[3], "dvv": z[4]}
+        Xfq = {"v": zero, "du": Xjet[0], "dv": Xjet[1],
+               "duu": Xjet[2], "duv": Xjet[3], "dvv": Xjet[4]}
+        psi, J = qp_energy_density(Xfq, ufq, hq, Ee, nue)
+        return psi * J * wq
+
+    hess = jax.hessian(qp_val)
+    v = jax.vmap(jax.vmap(jax.vmap(
+        hess, in_axes=(0, 0, 0, None, None, 0)),
+        in_axes=(0, 0, 0, None, None, 0)),
+        in_axes=(0, 0, 0, 0, 0, 0))
+    H = v(uz.reshape(P, En, Q, 15), Xz, h_qp, E, nu, stack.wq)
+    H = H.reshape(P, En, Q, 5, 3, 5, 3)
+
+    Rs = jnp.stack([stack.R10, stack.R01, stack.R20,
+                    stack.R11, stack.R02], axis=-2)     # (P, E, Q, 5, L)
+    tmp = jnp.einsum("peqjxky,peqkm->peqjxmy", H, Rs)
+    Ke = jnp.einsum("peqjxmy,peqjl->pelxmy", tmp, Rs)
+    return Ke.reshape(P, En, 3 * L, 3 * L)
 
 
 def external_work_dead_load(stack: PatchStack, d, cp, f_areal):

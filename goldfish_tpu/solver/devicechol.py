@@ -1,34 +1,41 @@
 """On-TPU f64 direct solver: blocked Cholesky + device IR.
 
-The production linear solver for the TPU path. Per Newton/adjoint
-solve:
+The production linear solver for the TPU path (the MUMPS role,
+reference: GOLDFISH/utils/opt_utils.py:156-209):
 
-  1. exact dense f64 tangent on device from the Hessian blocks
-     (emulated-f64 scatter, validated bit-accurate at bench scale);
-  2. blocked f64 Cholesky (solver/tpu_cholesky.py): ~1.7 s at N=6600 —
-     5x the host scipy LU including its transfers;
-  3. triangular solves (0.07 s) + device iterative refinement with the
-     exact dense matvec: the axon f64 emulation leaves a ~3e-3 one-shot
-     residual at cond ~1e12; 3-4 IR sweeps reach ~1e-10.
+  1. exact dense f64 tangent on device (matmul assembly, validated
+     bit-accurate vs the host oracle at bench scale);
+  2. blocked f64 Cholesky (solver/tpu_cholesky.py);
+  3. fused triangular solves + iterative-refinement sweeps; the
+     refinement matvec is either the assembled K or the EXACT
+     matrix-free jvp through the residual (also validated bit-accurate),
+     so an exact solve never requires a fresh assembly.
 
-Stale factors are NOT reused across design changes: at cond ~1e12 even
-a 1e-4 relative change in K makes refinement with a stale factor
-diverge (||fac^{-1} dK|| ~ cond * 1e-4 >> 1) — the same reason the
-reference refactors MUMPS every Newton iteration.
+Round-2 measurement (scripts/stale_ir_wing.py on hardware): a factor
+that is 1e-3 design-stale refines to the ~2e-6 emulation floor in 2
+sweeps, 1e-2-stale in 4 — so ONE factorization amortizes across many
+optimizer iterations (`PersistentDeviceFactor`); only the refinement
+matvec must be fresh. (The round-1 "1e-4-stale diverges" finding was an
+artifact of the old unfused one-shot IR.)
 """
 
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from goldfish_tpu.solver.blocks import TangentBlocks
-from goldfish_tpu.solver.system import SystemData
-from goldfish_tpu.solver.tpu_cholesky import DeviceCholesky
+from goldfish_tpu.solver.system import SystemData, tangent_matvec
+from goldfish_tpu.solver.tpu_cholesky import (
+    DeviceCholesky,
+    _chol_substitute,
+)
 
-__all__ = ["enabled", "dense64_from_blocks", "DeviceDirectSolver"]
+__all__ = ["enabled", "dense64_from_blocks", "DeviceDirectSolver",
+           "PersistentDeviceFactor"]
 
 
 def enabled() -> bool:
@@ -68,33 +75,156 @@ def _dense_matvec(K, x):
 
 
 class DeviceDirectSolver:
-    """factor(data, blocks) then solve(b) with device IR to `tol`."""
+    """factor(data, blocks) then solve(b) with fused device IR."""
 
-    def __init__(self, nb: int = 220, tol: float = 1e-10, max_ir: int = 3):
-        self.dc = DeviceCholesky(nb=nb)
+    def __init__(self, nb: int = 256, mb: int = 16, tol: float = 1e-10,
+                 max_ir: int = 3):
+        self.dc = DeviceCholesky(nb=nb, mb=mb)
         self.tol = tol
         self.max_ir = max_ir
         self._K = None
 
     def factor(self, data: SystemData, blocks: TangentBlocks):
-        self._K = dense64_from_blocks(data, blocks)
-        self.dc.factor(self._K)
-        return self
+        return self.factor_from_K(dense64_from_blocks(data, blocks))
 
     def factor_from_K(self, K):
         self._K = K
         self.dc.factor(K)
         return self
 
+    def update_K(self, K):
+        """Refresh the IR matrix WITHOUT refactoring: sweeps then
+        refine against the newer tangent. Valid within one optimizer
+        iteration (a warm Newton step of staleness refines to the same
+        ~5e-5 emulation floor, measured round 2); design-level 1e-4
+        staleness still diverges — refactor across design changes."""
+        self._K = K
+        return self
+
     def solve(self, b, n_ir=None):
-        """Fixed IR sweeps without host readbacks (each convergence
-        check costs a ~27 ms tunnel roundtrip; the axon one-shot
-        residual is ~3e-3 and each sweep multiplies it, so 3 sweeps
-        reach ~1e-10 deterministically)."""
+        """Substitution + fixed IR sweeps, fused into ONE device
+        program (each host-composed sweep costs a ~27 ms tunnel
+        roundtrip; the axon one-shot residual is ~5e-5 and each sweep
+        multiplies it down deterministically)."""
         n_ir = self.max_ir if n_ir is None else n_ir
-        bf = b.reshape(-1)
-        x = self.dc.solve(bf)
-        for _ in range(n_ir):
-            r = bf - _dense_matvec(self._K, x)
-            x = x + self.dc.solve(r)
-        return x.reshape(b.shape)
+        if n_ir == 0:
+            return self.dc.solve(b)
+        return self.dc.solve_ir(self._K, b, n_ir=n_ir)
+
+
+@partial(jax.jit, static_argnames=("nb", "n_ir"))
+def _jvp_ir_solve(data: SystemData, L, invs, dscale, cp, h, d, b,
+                  nb: int, n_ir: int):
+    """Substitution + n_ir refinement sweeps whose matvec is the EXACT
+    matrix-free tangent (jvp through the residual at d) — one program.
+    Solves K(d) x = b with NO dense assembly even when (L, invs) came
+    from a stale tangent. Returns (x, ratio): ratio = |last
+    correction| / |x| is the in-program convergence certificate (the
+    IR contraction factor; ~1 means the factor is too stale and the
+    caller must refactor — thin-shell tangents change O(1) under
+    d-drifts of only ~1e-2 relative, round-2 finding)."""
+
+    N = dscale.shape[0]
+    Np = L.shape[0]
+
+    def subst(r):
+        rn = dscale * r.reshape(-1)
+        if Np != N:
+            rn = jnp.concatenate(
+                [rn, jnp.zeros(Np - N, dtype=rn.dtype)])
+        y = _chol_substitute(L, invs, rn, nb)
+        return (dscale * y[:N]).reshape(b.shape)
+
+    x = subst(b)
+
+    def sweep(_, carry):
+        x, _ = carry
+        r = (b - tangent_matvec(data, d, cp, h, x)) * data.free
+        dx = subst(r)
+        return x + dx, jnp.linalg.norm(dx)
+
+    x, last_dx = jax.lax.fori_loop(0, n_ir, sweep,
+                                   (x, jnp.linalg.norm(x)))
+    ratio = last_dx / (jnp.linalg.norm(x) + 1e-300)
+    return x, ratio
+
+
+class PersistentDeviceFactor:
+    """ONE on-device f64 factorization amortized across Newton AND
+    optimizer iterations (the round-2 production path).
+
+    - `direction(r)`: substitution-only solve against the stored factor
+      — an inexact Newton direction (relative error ~ staleness), safe
+      under the energy line search.
+    - `exact_solve(cp, h, d, b)`: fused substitution + jvp-matvec IR —
+      exact to the ~2e-6 emulation floor regardless of factor
+      staleness up to ~1e-2 (measured, scripts/stale_ir_wing.py).
+    - `ensure(cp, h, d)`: refactors only when the state drifted more
+      than `stale_tol` (relative, combined cp/h/d drift) since the last
+      factorization.
+    """
+
+    def __init__(self, data: SystemData, nb: int = 256, mb: int = 16,
+                 stale_tol: float = 5e-3, n_ir: int = 3):
+        self.data = data
+        self.dc = DeviceCholesky(nb=nb, mb=mb)
+        self.stale_tol = stale_tol
+        self.n_ir = n_ir
+        self._ref = None         # (cp, h, d) at factor time
+        self.n_factor = 0
+
+    @staticmethod
+    @jax.jit
+    def _drift(cp, h, d, cp0, h0, d0):
+        """Relative state drift since the factorization. Each field is
+        normalized by ITS OWN scale — displacements in particular must
+        NOT be normalized by the geometry norm: a cold solve moves d
+        from 0 to O(1e-2) while |cp| is O(1), which is a tiny 'drift'
+        by geometry standards but changes the tangent completely (the
+        round-2 drive stalled exactly this way). The tiny floor on the
+        d-scale makes any first step from d0 = 0 register as full
+        drift, so cold solves refactor like classic Newton."""
+        dcp = jnp.linalg.norm(cp - cp0) / (jnp.linalg.norm(cp0) + 1e-300)
+        dh = jnp.linalg.norm(h - h0) / (jnp.linalg.norm(h0) + 1e-300)
+        d_scale = jnp.linalg.norm(d0) + 1e-6 * jnp.linalg.norm(cp0) \
+            + 1e-300
+        dd = jnp.linalg.norm(d - d0) / d_scale
+        return jnp.maximum(jnp.maximum(dcp, dh), dd)
+
+    def ensure(self, cp, h, d, force=False):
+        """Refactor if stale; returns True when a factorization ran."""
+        if self._ref is not None and not force:
+            drift = float(self._drift(cp, h, d, *self._ref))
+            if drift <= self.stale_tol:
+                return False
+        from goldfish_tpu.solver.implicit import _jit_assemble_K
+
+        K = _jit_assemble_K(self.data, cp, h, d)
+        self.dc.factor(K)
+        self._ref = (cp, h, d)
+        self.n_factor += 1
+        return True
+
+    def direction(self, r):
+        """Inexact-Newton direction: substitution only (1 dispatch)."""
+        return self.dc.solve(r)
+
+    def exact_solve(self, cp, h, d, b, n_ir=None, tol=1e-6):
+        """K(d) x = b via jvp-matvec IR, SELF-VALIDATING: if the
+        in-program convergence certificate says the sweeps did not
+        contract to `tol` (factor too stale for IR), refactor at the
+        current state and redo — exactness is guaranteed, the drift
+        heuristic is only a fast path."""
+        n_ir = self.n_ir if n_ir is None else n_ir
+        for attempt in range(3):
+            x, ratio = _jvp_ir_solve(self.data, self.dc._L,
+                                     self.dc._invs, self.dc._dscale,
+                                     cp, h, d, b, nb=self.dc.nb,
+                                     n_ir=n_ir)
+            if float(ratio) <= tol:
+                return x
+            if attempt == 0:
+                self.ensure(cp, h, d, force=True)
+            else:
+                n_ir = 2 * n_ir  # fresh factor: just sweep more
+        return x

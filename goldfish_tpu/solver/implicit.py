@@ -188,6 +188,14 @@ def _jit_residual(data: SystemData, cp, h, d):
 
 
 @jax.jit
+def _jit_res_pot(data: SystemData, cp, h, d):
+    """residual + |r| + potential in ONE program (saves ~2 tunnel
+    roundtrips per Newton iteration on axon)."""
+    r = residual(data, d, cp, h)
+    return r, jnp.linalg.norm(r), total_potential(data, d, cp, h)
+
+
+@jax.jit
 def _jit_potential(data: SystemData, cp, h, d):
     return total_potential(data, d, cp, h)
 
@@ -212,19 +220,27 @@ def _jit_assemble_K(data: SystemData, cp, h, d):
 
 
 def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
-                      max_it=30, verbose=False, host_fac=None):
+                      max_it=30, verbose=False, host_fac=None,
+                      device_fac=None):
     """Host-driven damped Newton: python composition of SMALL jitted
-    programs (residual / blocks / block-GMRES / potential), each
-    individually validated on the axon TPU backend. Larger fused
-    programs (a whole Newton step, or the monolithic while_loop solve)
-    trigger worker crashes or silent corruption at production scale on
-    that backend (CLAUDE.md). Same convergence semantics as
-    `newton_solve`; the host line search costs a few extra potential
-    evaluations per iteration."""
+    programs, each individually validated on the axon TPU backend
+    (larger fused programs — a whole Newton step, or the monolithic
+    while_loop solve — crash or silently corrupt at production scale
+    there, CLAUDE.md). Same convergence semantics as `newton_solve`.
+
+    Device path (round 2): ONE persistent blocked-f64-Cholesky factor
+    (devicechol.PersistentDeviceFactor) serves every iteration as an
+    inexact-Newton preconditioner (substitution-only directions, the
+    energy line search guarantees descent); the factor refreshes only
+    when the state drifts past its staleness tolerance or when
+    convergence stalls. This replaces the round-1
+    refactor-every-iteration scheme (measured: a 1e-3-stale factor
+    still refines to the floor, scripts/stale_ir_wing.py)."""
     r0 = _jit_residual(data, cp, h, jnp.zeros_like(d0))
     r_ref = float(jnp.linalg.norm(r0))
-    r = _jit_residual(data, cp, h, d0)
-    rn = float(jnp.linalg.norm(r))
+    r, rn_, Pi = _jit_res_pot(data, cp, h, d0)
+    rn = float(rn_)
+    Pi0 = float(Pi)
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
     eps = float(jnp.finfo(d0.dtype).eps)
 
@@ -234,19 +250,19 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     host_direct = (not device_direct) and hostsolve.enabled()
     if host_direct and host_fac is None:
         host_fac = hostsolve.PersistentHostFactor(data)
+    if device_direct and device_fac is None:
+        device_fac = devicechol.PersistentDeviceFactor(data)
 
     d = d0
     stall = 0
     it = 0
+    refactored_on_stall = False
+    force_refactor = False
     while (it < max_it and rn > atol and rn > rtol * r_ref):
         if device_direct:
-            # on-TPU blocked f64 Cholesky + device IR (the MUMPS role,
-            # fully device-resident; solver/devicechol.py). Assemble the
-            # dense f64 tangent directly (validated bit-accurate at
-            # scale) — cheaper than blocks + separate scatter.
-            K = _jit_assemble_K(data, cp, h, d)
-            dds = devicechol.DeviceDirectSolver().factor_from_K(K)
-            delta = dds.solve(-r) * data.free
+            device_fac.ensure(cp, h, d, force=force_refactor)
+            force_refactor = False
+            delta = device_fac.direction(-r) * data.free
         elif host_direct:
             blocks = _jit_blocks(data, cp, h, d)
             # host f64 LU fallback (amortized via exact-residual IR)
@@ -254,26 +270,40 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
         else:
             blocks = _jit_blocks(data, cp, h, d)
             delta = _jit_block_solve(data, blocks, -r) * data.free
-        Pi0 = float(_jit_potential(data, cp, h, d))
         slope = float(jnp.sum(r * delta))
         done_slope = abs(slope) <= 4.0 * eps * abs(Pi0) + 1e-300
 
         alpha = 1.0
+        ls_fail = False
         if not done_slope:
-            for _ in range(30):
+            for k_ls in range(30):
                 Pi_try = float(_jit_potential(data, cp, h,
                                               d + alpha * delta))
                 if Pi_try <= Pi0 + 1e-4 * alpha * slope \
                         + 16 * eps * abs(Pi0):
                     break
                 alpha *= 0.5
+            else:
+                ls_fail = True
+        if ls_fail and device_direct and not refactored_on_stall:
+            # stale direction not a descent direction: refresh the
+            # factor at the current state and retry this iteration
+            device_fac.ensure(cp, h, d, force=True)
+            refactored_on_stall = True
+            continue
+        rn_prev = rn
         d = d + alpha * delta
-        r = _jit_residual(data, cp, h, d)
-        rn = float(jnp.linalg.norm(r))
-        Pi_new = float(_jit_potential(data, cp, h, d))
+        r, rn_, Pi_new_ = _jit_res_pot(data, cp, h, d)
+        rn = float(rn_)
+        Pi_new = float(Pi_new_)
         it += 1
         if verbose:
             print(f"  newton(host) it {it}: |r|={rn:.3e} alpha={alpha:g}")
+        # slow linear contraction = the frozen tangent is too stale
+        # (thin-shell K changes O(1) under small d-drifts): refresh it
+        # rather than crawling — exact Newton converges quadratically
+        if device_direct and rn > 0.25 * rn_prev and rn > rtol * r_ref:
+            force_refactor = True
         if done_slope:
             break
         if Pi_new >= Pi0 - 64 * eps * abs(Pi0):
@@ -282,6 +312,7 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
                 break
         else:
             stall = 0
+        Pi0 = Pi_new
     return d, it, rn
 
 
@@ -300,19 +331,27 @@ def _adjoint_solve_direct(data: SystemData, d, cp, h, g):
     return _jit_residual_vjp.__wrapped__(data, d, cp, h, lam)
 
 
-def adjoint_solve(data: SystemData, d, cp, h, g, host_fac=None):
+def adjoint_solve(data: SystemData, d, cp, h, g, host_fac=None,
+                  device_fac=None):
     """Implicit-function adjoint: K lam = g, then (dcp, dh) = -lam^T
     dR/d(cp, h). All kernels take their arrays as jit ARGUMENTS (axon
     f64 closure-constant bug); on TPU the stages run as separate small
     programs (fused Newton/adjoint programs corrupt or crash at scale
-    on that backend, CLAUDE.md)."""
+    on that backend, CLAUDE.md).
+
+    Device path: the persistent factor's jvp-matvec IR solves K(d*)
+    lam = g EXACTLY (to the emulation floor) without assembling a
+    fresh tangent — the refinement matvec is the matrix-free exact
+    jvp, only the preconditioning substitutions use the (possibly
+    stale) factor."""
     if mode() == "mixed":
         from goldfish_tpu.solver import devicechol, hostsolve
 
         if devicechol.enabled():
-            K = _jit_assemble_K(data, cp, h, d)
-            dds = devicechol.DeviceDirectSolver().factor_from_K(K)
-            lam = dds.solve(g * data.free) * data.free
+            fac = device_fac if device_fac is not None \
+                else devicechol.PersistentDeviceFactor(data)
+            fac.ensure(cp, h, d)
+            lam = fac.exact_solve(cp, h, d, g * data.free) * data.free
             return _jit_residual_vjp(data, d, cp, h, lam)
         blocks = _jit_blocks(data, cp, h, d)
         if hostsolve.enabled():
@@ -342,13 +381,19 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
     of jitted kernels is the supported TPU path; CPU tolerates either.
     """
 
-    # persistent host LU shared by forward and adjoint (TPU path): the
+    # persistent factors shared by forward and adjoint (TPU path): the
     # factorization amortizes across Newton AND optimizer iterations;
-    # exact-residual IR keeps every solve exact (solver/hostsolve.py)
-    from goldfish_tpu.solver import hostsolve
+    # IR against the fresh (matrix-free) tangent keeps every adjoint
+    # solve exact (solver/devicechol.py / hostsolve.py)
+    from goldfish_tpu.solver import devicechol, hostsolve
 
-    phf = hostsolve.PersistentHostFactor(data) \
-        if (mode() == "mixed" and hostsolve.enabled()) else None
+    pdf = None
+    phf = None
+    if mode() == "mixed":
+        if devicechol.enabled():
+            pdf = devicechol.PersistentDeviceFactor(data)
+        elif hostsolve.enabled():
+            phf = hostsolve.PersistentHostFactor(data)
     # adaptive floor hint: warm-started solves stop as soon as they
     # reach the residual floor the previous solve achieved (the axon
     # f64-emulation floor sits far above rtol*r_ref; without the hint
@@ -362,7 +407,8 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
             # crash the axon TPU worker at production scale)
             d, its, rn = newton_solve_host(data, cp, h, d0, rtol=rtol,
                                            atol=max(atol, floor_hint[0]),
-                                           max_it=max_it, host_fac=phf)
+                                           max_it=max_it, host_fac=phf,
+                                           device_fac=pdf)
             if its < max_it:  # converged/floored, not max_it-truncated
                 floor_hint[0] = max(atol, 1.5 * rn)
             return d
@@ -376,7 +422,8 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
 
     def bwd(res, g):
         d, cp, h = res
-        dcp, dh = adjoint_solve(data, d, cp, h, g, host_fac=phf)
+        dcp, dh = adjoint_solve(data, d, cp, h, g, host_fac=phf,
+                                device_fac=pdf)
         return dcp, dh, jnp.zeros_like(d)
 
     solve.defvjp(fwd, bwd)

@@ -35,7 +35,7 @@ from goldfish_tpu.solver.linalg import cast_floating
 from goldfish_tpu.solver.system import SystemData, assemble_K, tangent_matvec
 
 __all__ = ["patch_block_precond", "PairSchwarz", "full_f32_precond",
-           "gmres_solve", "newton_krylov_solve"]
+           "gmres_solve", "newton_krylov_solve", "build_solve_fn_krylov"]
 
 
 def full_f32_precond(data: SystemData, d, cp, h):
@@ -365,6 +365,7 @@ def newton_krylov_solve(data: SystemData, cp, h, d0, rtol=1e-8,
     def body(state):
         d, it, _, _ = state
         r = residual(data, d, cp, h)
+        rn0 = jnp.linalg.norm(r)
         if schwarz is not None:
             precond = (schwarz, schwarz.assemble(data, d, cp, h))
         else:
@@ -378,9 +379,17 @@ def newton_krylov_solve(data: SystemData, cp, h, d0, rtol=1e-8,
 
         def ls_cond(s):
             alpha, j = s
-            ok = total_potential(data, d + alpha * delta, cp, h) <= (
+            d_try = d + alpha * delta
+            pi_ok = total_potential(data, d_try, cp, h) <= (
                 Pi0 + 1e-4 * alpha * slope + 16 * eps * jnp.abs(Pi0))
-            return jnp.logical_not(ok) & (j < 30) & jnp.logical_not(done)
+            # SVK energy is NOT convex far from equilibrium: a full
+            # step can LOWER Pi while |r| explodes into a crumpled
+            # state where the next GMRES direction degenerates — also
+            # require the residual not to blow up
+            rn_ok = jnp.linalg.norm(residual(data, d_try, cp, h)) <= \
+                4.0 * jnp.maximum(rn0, r_ref)
+            return jnp.logical_not(pi_ok & rn_ok) & (j < 30) \
+                & jnp.logical_not(done)
 
         alpha, _ = jax.lax.while_loop(
             ls_cond, lambda s: (0.5 * s[0], s[1] + 1),
@@ -392,3 +401,44 @@ def newton_krylov_solve(data: SystemData, cp, h, d0, rtol=1e-8,
     d, it, rn, _ = jax.lax.while_loop(
         cond, body, (d0, jnp.int32(0), r0n, jnp.asarray(False)))
     return d, it, rn
+
+
+def build_solve_fn_krylov(data: SystemData, rtol=1e-9, cg_rtol=1e-8,
+                          max_newton=30, max_cg=500):
+    """Differentiable MATRIX-FREE solve(cp, h, d0) -> d for
+    pegasus-class models: Newton-Krylov forward (colored multiplicative
+    pair-Schwarz preconditioner), GMRES-IR adjoint — no dense (N, N)
+    tangent is ever materialized (the reference's MUMPS role at this
+    scale is distributed PETSc; reference:
+    demos_om/thickness_opt/pegasus/pegasus_var_th_opt_wint.py:203-206).
+    """
+    from goldfish_tpu.solver.system import residual
+
+    schwarz = PairSchwarz(data)
+
+    @jax.custom_vjp
+    def solve(cp, h, d0):
+        d, _, _ = newton_krylov_solve(data, cp, h, d0, rtol=rtol,
+                                      cg_rtol=cg_rtol,
+                                      max_newton=max_newton,
+                                      max_cg=max_cg, schwarz=schwarz)
+        return d
+
+    def fwd(cp, h, d0):
+        d = solve(cp, h, d0)
+        return d, (d, cp, h)
+
+    def bwd(res, g):
+        d, cp, h = res
+        fac = schwarz.assemble(data, d, cp, h)
+        lam, _ = gmres_solve(data, d, cp, h, g * data.free,
+                             (schwarz, fac), rtol=cg_rtol, restart=32,
+                             maxiter=max_cg // 32 + 1)
+        lam = lam * data.free
+        _, vjp = jax.vjp(lambda cp_, h_: residual(data, d, cp_, h_),
+                         cp, h)
+        dcp, dh = vjp(-lam)
+        return dcp, dh, jnp.zeros_like(d)
+
+    solve.defvjp(fwd, bwd)
+    return solve

@@ -143,3 +143,50 @@ def test_two_patch_plate_coupling_patch_test():
     D = E * h**3 / 12
     w_exact = -q * Lx**4 / (8 * D)
     assert abs(w_tip - w_exact) / abs(w_exact) < 5e-3
+
+
+def test_jet_hessians_match_dense_ad():
+    """Jet-formulated element/interface Hessians must equal the dense
+    vmapped-jax.hessian oracle (the round-1 implementation)."""
+    import jax.numpy as jnp
+
+    from goldfish_tpu.models import tbeam
+    from goldfish_tpu.physics.coupling import (
+        _interface_hessians_ref,
+        interface_hessians,
+    )
+    from goldfish_tpu.physics.kl_shell import (
+        _element_hessians_ref,
+        element_hessians,
+    )
+
+    sys = tbeam.build(num_el=3, p=3)
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.normal(size=np.asarray(sys.cp).shape)) * 1e-3
+    Ke = element_hessians(sys.stack, d, sys.cp, sys.h_init, sys.E, sys.nu)
+    Ke_ref = _element_hessians_ref(sys.stack, d, sys.cp, sys.h_init,
+                                   sys.E, sys.nu)
+    scale = float(jnp.max(jnp.abs(Ke_ref)))
+    assert float(jnp.max(jnp.abs(Ke - Ke_ref))) < 1e-10 * scale
+
+    ifs = sys.data.ifs
+    Ki = interface_hessians(ifs, d, sys.cp, sys.h_init, sys.E)
+    Ki_ref = _interface_hessians_ref(ifs, d, sys.cp, sys.h_init, sys.E)
+    scale_i = float(jnp.max(jnp.abs(Ki_ref)))
+    assert float(jnp.max(jnp.abs(Ki - Ki_ref))) < 1e-10 * scale_i
+
+
+def test_matmul_assembly_matches_scatter():
+    """Matmul-based assemble_K must equal the scatter oracle."""
+    import jax.numpy as jnp
+
+    from goldfish_tpu.models import tbeam
+    from goldfish_tpu.solver.system import _assemble_K_scatter, assemble_K
+
+    sys = tbeam.build(num_el=3, p=3)
+    rng = np.random.default_rng(1)
+    d = jnp.asarray(rng.normal(size=np.asarray(sys.cp).shape)) * 1e-3
+    K1 = assemble_K(sys.data, d, sys.cp, sys.h_init)
+    K0 = _assemble_K_scatter(sys.data, d, sys.cp, sys.h_init)
+    scale = float(jnp.max(jnp.abs(K0)))
+    assert float(jnp.max(jnp.abs(K1 - K0))) < 1e-11 * scale

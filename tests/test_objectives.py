@@ -89,3 +89,38 @@ def test_compliance_includes_f_field():
     C = float(objectives.compliance(sys.data, d, sys.cp, sys.h_init))
     assert C != 0.0
     assert abs(C - 2 * W) / abs(C) < 0.02, (C, 2 * W)
+
+
+def test_vmstress_field_operation(solved_plate):
+    """Per-qp von Mises FIELD operation (reference
+    csdl_models/vmstress_model.py role): values match qp_stress_vm and
+    the dense Jacobian FD-verifies."""
+    from goldfish_tpu.design.pipeline import CPLayout
+    from goldfish_tpu.operations.exops import VMStressExOperation
+
+    sys, d = solved_plate
+    op = VMStressExOperation(sys, through="top")
+    lay = CPLayout(sys.metas, sys.stack.max_cp)
+    cp_f = np.asarray(lay.to_flat(sys.cp)).ravel()
+    h_f = np.asarray(lay.to_flat(sys.h_init[..., None])).ravel()
+    d_f = np.asarray(lay.to_flat(d)).ravel()
+
+    s_vec = op.compute(cp_f, h_f, d_f)
+    s_full = np.asarray(kl_shell.qp_stress_vm(
+        sys.stack, d, sys.cp, sys.h_init, sys.E, sys.nu,
+        through="top")).reshape(-1)
+    keep = np.asarray(sys.stack.wq).reshape(-1) > 0
+    assert np.allclose(s_vec, s_full[keep])
+    assert s_vec.size == keep.sum()
+
+    _, _, Ju = op.jacobians(cp_f, h_f, d_f)
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=d_f.size)
+    # step scaled to the displacement magnitude: the stress field is
+    # strongly nonlinear in d at this load level (FD truncation decays
+    # as eps^2: measured 1e-2 at eps_rel=1e-4, 1.1e-4 at 1e-5)
+    eps = 1e-5 * np.linalg.norm(d_f) / np.linalg.norm(v)
+    fd = (op.compute(cp_f, h_f, d_f + eps * v)
+          - op.compute(cp_f, h_f, d_f - eps * v)) / (2 * eps)
+    an = Ju @ v
+    assert np.linalg.norm(an - fd) / np.linalg.norm(fd) < 1e-3

@@ -18,7 +18,7 @@ import numpy as np
 
 from goldfish_tpu.geometry.nurbs import NURBS
 
-__all__ = ["read_igs_file"]
+__all__ = ["read_igs_file", "write_igs_file"]
 
 
 def _parse_free_format(text: str, pdelim: str, rdelim: str):
@@ -152,3 +152,73 @@ def read_igs_file(path: str) -> list[NURBS]:
         ctrl = np.concatenate([P * W[..., None], W[..., None]], axis=-1)
         surfs.append(NURBS([S, T], ctrl))
     return surfs
+
+
+def write_igs_file(path: str, surfs: list[NURBS], author="goldfish_tpu"):
+    """Write NURBS surfaces as IGES type-128 entities (the reverse of
+    `read_igs_file`; the reference relies on OCC for IGES output —
+    reference role: pythonOCC write paths used by the eVTOL workflow,
+    SURVEY.md section 2.4). Round-trips exactly with this module's
+    reader."""
+
+    def fmt(x):
+        return f"{float(x):.17G}"
+
+    # ---- parameter records (one string per entity) ----
+    records = []
+    for s in surfs:
+        n1, n2 = s.shape
+        p1, p2 = s.degree
+        W = s.weights
+        P = s.points
+        toks = ["128", str(n1 - 1), str(n2 - 1), str(p1), str(p2),
+                "0", "0", "0" if np.any(np.abs(W - W.ravel()[0]) > 1e-14)
+                else "1", "0", "0"]
+        toks += [fmt(x) for x in s.knots[0]]
+        toks += [fmt(x) for x in s.knots[1]]
+        # first index fastest (IGES convention)
+        toks += [fmt(x) for x in W.T.ravel()]
+        toks += [fmt(x) for x in P.transpose(1, 0, 2).ravel()]
+        toks += [fmt(s.knots[0][0]), fmt(s.knots[0][-1]),
+                 fmt(s.knots[1][0]), fmt(s.knots[1][-1])]
+        records.append(",".join(toks) + ";")
+
+    # ---- assemble sections ----
+    start = ["goldfish_tpu IGES export".ljust(72) + "S0000001"]
+    gparams = [",", ";", f"{len(author)}H{author}", "7Hgoldfish",
+               "16Hgoldfish_tpu_igs", "32", "308", "15", "308", "15",
+               "7Hgoldfish", "1.0", "2", "2HMM", "1", "0.001",
+               "15H20260101.000000", "1E-9", "1000.0", f"{len(author)}H"
+               f"{author}", "7Hgoldfish", "11", "0",
+               "15H20260101.000000"]
+    gtext = ",".join(gparams) + ";"
+    glob_lines = []
+    while gtext:
+        glob_lines.append(gtext[:72])
+        gtext = gtext[72:]
+    glob = [ln.ljust(72) + f"G{i + 1:07d}"
+            for i, ln in enumerate(glob_lines)]
+
+    dir_lines = []
+    par_lines = []
+    pline_no = 1
+    for k, rec in enumerate(records):
+        de = 2 * k + 1
+        chunks = [rec[i:i + 64] for i in range(0, len(rec), 64)]
+        pstart = pline_no
+        for ch in chunks:
+            par_lines.append(
+                ch.ljust(64) + f"{de:8d}".replace(" ", " ")[:8]
+                + f"P{pline_no:07d}")
+            pline_no += 1
+        d1 = (f"{128:8d}{pstart:8d}{0:8d}{0:8d}{0:8d}{0:8d}{0:8d}"
+              f"{0:8d}00000000").ljust(72) + f"D{de:07d}"
+        d2 = (f"{128:8d}{0:8d}{0:8d}{len(chunks):8d}{0:8d}"
+              + " " * 32).ljust(72) + f"D{de + 1:07d}"
+        dir_lines.extend([d1, d2])
+
+    term = (f"S{1:7d}G{len(glob):7d}D{len(dir_lines):7d}"
+            f"P{len(par_lines):7d}").ljust(72) + "T0000001"
+    with open(path, "w") as f:
+        f.write("\n".join(start + glob + dir_lines + par_lines
+                          + [term]) + "\n")

@@ -121,6 +121,78 @@ class OptProblem:
         return np.concatenate(bs, axis=0)
 
     # ------------------------------------------------------------- run
+    def run(self, optimizer="SLSQP", maxiter=100, tol=1e-9,
+            verbose=False, opt_settings=None):
+        """Pluggable optimizer front end (the reference's SNOPT/SLSQP
+        switch, reference: demos_om/thickness_opt/plate/
+        plate_var_th_opt_wint.py:342-361): 'SLSQP' (scipy, built in),
+        'SNOPT'/'IPOPT'/... via pyoptsparse when installed."""
+        if optimizer.upper() == "SLSQP":
+            return self.run_slsqp(maxiter=maxiter, tol=tol,
+                                  verbose=verbose)
+        try:
+            import pyoptsparse  # noqa: F401
+        except ModuleNotFoundError as e:
+            raise ModuleNotFoundError(
+                f"optimizer {optimizer!r} needs pyoptsparse, which is "
+                "not installed in this environment; use 'SLSQP'") from e
+        return self._run_pyoptsparse(optimizer, maxiter=maxiter,
+                                     tol=tol, verbose=verbose,
+                                     opt_settings=opt_settings or {})
+
+    def _run_pyoptsparse(self, optimizer, maxiter, tol, verbose,
+                         opt_settings):
+        """pyOptSparse driver (SNOPT et al.); exercised only where the
+        package exists (not baked into this image)."""
+        import numpy as np
+        import pyoptsparse
+
+        names = [dv.name for dv in self._dvs]
+
+        def objfun(xdict):
+            x = jnp.concatenate([jnp.asarray(xdict[n]).ravel()
+                                 for n in names])
+            dvs = self._unflatten(x)
+            if self._state0 is not None:
+                J, _ = self._obj(dvs, self._state0)
+            else:
+                J = self._obj(dvs)
+            funcs = {"obj": float(self._obj_scaler * J)}
+            for c in self._cons:
+                funcs[c.name] = np.asarray(
+                    c.scaler * jnp.atleast_1d(c.fn(dvs)))
+            return funcs, False
+
+        prob = pyoptsparse.Optimization("goldfish_tpu", objfun)
+        for dv in self._dvs:
+            prob.addVarGroup(dv.name, int(np.asarray(dv.init).size),
+                             value=np.asarray(dv.init),
+                             lower=dv.lower, upper=dv.upper)
+        prob.addObj("obj")
+        for c in self._cons:
+            n = int(np.atleast_1d(np.asarray(
+                c.fn(self._unflatten(self._x0())))).size)
+            kw = {}
+            if c.equals is not None:
+                kw = dict(lower=c.scaler * c.equals,
+                          upper=c.scaler * c.equals)
+            else:
+                if c.lower is not None:
+                    kw["lower"] = c.scaler * c.lower
+                if c.upper is not None:
+                    kw["upper"] = c.scaler * c.upper
+            prob.addConGroup(c.name, n, **kw)
+        opt_cls = getattr(pyoptsparse, optimizer.upper())
+        opt = opt_cls(options=dict(opt_settings))
+        sol = opt(prob, sens="FD")
+        x = jnp.concatenate([jnp.asarray(sol.xStar[n]).ravel()
+                             for n in names])
+        xdict = {k: np.asarray(v)
+                 for k, v in self._unflatten(x).items()}
+        return OptResult(x=xdict, fun=float(sol.fStar), nit=-1,
+                         success=True, message=str(sol.optInform),
+                         history=[])
+
     def run_slsqp(self, maxiter=100, tol=1e-9, verbose=False):
         assert self._obj is not None, "set_objective first"
         has_state = self._state0 is not None

@@ -41,7 +41,7 @@ from goldfish_tpu.solver.system import (
 )
 
 __all__ = ["newton_solve", "newton_solve_host", "continuation_solve",
-           "adjoint_solve", "build_solve_fn"]
+           "adjoint_solve", "build_solve_fn", "build_field_solve_fn"]
 
 
 def continuation_solve(data: SystemData, cp, h, d0, n_steps=5, rtol=1e-10,
@@ -425,6 +425,72 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
         dcp, dh = adjoint_solve(data, d, cp, h, g, host_fac=phf,
                                 device_fac=pdf)
         return dcp, dh, jnp.zeros_like(d)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def build_field_solve_fn(data: SystemData, rtol=1e-9, atol=1e-14,
+                         max_it=30):
+    """Differentiable `solve(cp, h, f_field, d0) -> d` with the
+    DISTRIBUTED FORCE FIELD as an explicit adjoint input (the
+    aero-pressure coupling surface; reference: dRIGAdPaero +
+    update_Paero, GOLDFISH/nonmatching_opt.py:1582-1665). dJ/df comes
+    out of the same implicit adjoint as dJ/d(cp, h) — the coupled
+    aeroelastic loop (CADDEE role) differentiates through this.
+
+    Same mixed/TPU handling as build_solve_fn: host-composed Newton +
+    persistent device factor there, jitted while_loop Newton on CPU.
+    """
+    from goldfish_tpu.solver import devicechol, hostsolve
+
+    pdf = None
+    phf = None
+    if mode() == "mixed":
+        if devicechol.enabled():
+            pdf = devicechol.PersistentDeviceFactor(data)
+        elif hostsolve.enabled():
+            phf = hostsolve.PersistentHostFactor(data)
+    floor_hint = [atol]
+
+    @jax.custom_vjp
+    def solve(cp, h, f, d0):
+        data_f = data._replace(f_field=f)
+        if mode() == "mixed":
+            d, its, rn = newton_solve_host(
+                data_f, cp, h, d0, rtol=rtol,
+                atol=max(atol, floor_hint[0]), max_it=max_it,
+                host_fac=phf, device_fac=pdf)
+            if its < max_it:
+                floor_hint[0] = max(atol, 1.5 * rn)
+            return d
+        d, _, _ = newton_solve(data_f, cp, h, d0, rtol=rtol, atol=atol,
+                               max_it=max_it)
+        return d
+
+    def fwd(cp, h, f, d0):
+        d = solve(cp, h, f, d0)
+        return d, (d, cp, h, f)
+
+    def bwd(res, g):
+        d, cp, h, f = res
+        data_f = data._replace(f_field=f)
+        if mode() == "mixed" and pdf is not None:
+            # pdf's jvp matvec uses `data` WITHOUT f_field — correct:
+            # a dead areal field is linear in d, so the tangent K is
+            # identical; only dR/df in the vjp below needs data_f
+            pdf.ensure(cp, h, d)
+            lam = pdf.exact_solve(cp, h, d, g * data.free) * data.free
+        else:
+            K = assemble_K(data_f, d, cp, h)
+            lam = linear_solve(
+                K, (g * data.free).reshape(-1)).reshape(g.shape)
+            lam = lam * data.free
+        _, vjp = jax.vjp(
+            lambda c, hh, ff: residual(data._replace(f_field=ff),
+                                       d, c, hh), cp, h, f)
+        dc, dh, df = vjp(-lam)
+        return dc, dh, df, jnp.zeros_like(d)
 
     solve.defvjp(fwd, bwd)
     return solve

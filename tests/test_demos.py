@@ -31,3 +31,34 @@ def test_thickness_opt_plate_demo(tmp_path):
     res, sys_, th = thickness_opt_plate.main(
         num_el=3, maxiter=6, results=str(tmp_path), verbose=False)
     assert res.history[0] > res.fun
+
+
+@pytest.mark.slow
+def test_pegasus_reduced():
+    """Matrix-free pegasus-class opt at reduced scale (full-scale run:
+    demos/pegasus_thickness_opt.py --sections 18)."""
+    from demos.pegasus_thickness_opt import main
+
+    res, sys_, th, wall = main(n_sections=4, num_el=2, p=2, maxiter=3,
+                               verbose=False)
+    assert res.fun < res.history[0]
+
+
+@pytest.mark.slow
+def test_evtol_demo_reduced():
+    from demos.evtol_wing_shopt import main
+
+    res, sys_, sh, th = main(n_sections=2, num_el=2, p=2, maxiter=2,
+                             verbose=False)
+    assert res.fun <= res.history[0]
+
+
+@pytest.mark.slow
+def test_caddee_demo_reduced():
+    import numpy as np
+
+    from demos.caddee_aeroelastic_wing import main
+
+    J0, tip, gh, model = main(n_sections=2, num_el=2, p=2, n_fp=2,
+                              verbose=False)
+    assert np.isfinite(J0) and J0 > 0

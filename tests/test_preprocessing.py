@@ -97,3 +97,20 @@ def test_load_reference_cache(plate_surfs):
     specs = pre.interface_specs()
     assert len(specs) == 5
     assert all(t == "edge" for t in pre.intersections_type)
+
+
+def test_igs_writer_roundtrip(tmp_path):
+    """write_igs_file -> read_igs_file reproduces control nets exactly
+    (the reference relies on OCC for IGES output; SURVEY.md 2.4)."""
+    from goldfish_tpu.geometry.igs_io import read_igs_file, write_igs_file
+    from goldfish_tpu.models import boxwing
+
+    sys = boxwing.build(n_sections=2, num_el=2, p=2)
+    path = str(tmp_path / "wing.igs")
+    write_igs_file(path, sys.surfs)
+    back = read_igs_file(path)
+    assert len(back) == len(sys.surfs)
+    for a, b in zip(sys.surfs, back):
+        assert np.allclose(a.control, b.control, atol=1e-12)
+        for ka, kb in zip(a.knots, b.knots):
+            assert np.allclose(ka, kb)

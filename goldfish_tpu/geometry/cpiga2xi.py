@@ -46,6 +46,15 @@ class MovingIntersections(NamedTuple):
     end_dir: jnp.ndarray  # (I, 2) int32: pinned coordinate at each end (A side)
     end_val: jnp.ndarray  # (I, 2)
     xi0: jnp.ndarray      # (I, N, 2, 2) initial [.., 0, :]=xiA, [.., 1, :]=xiB
+    # edge-to-edge bookkeeping (reference: GOLDFISH/cpiga2xi.py:231-302
+    # edge-constraint machinery): when BOTH sides' curves run along
+    # parametric edges (e.g. co-tangent seams of a smooth multi-patch
+    # cylinder) the 3D coincidence Jacobian is rank-2 per point — the
+    # residual then pins both edge coordinates and keeps only the
+    # along-curve coincidence projection
+    both_edges: jnp.ndarray  # (I,) 1.0 when both sides are edge curves
+    epin_dir: jnp.ndarray    # (I, 2) int32: pinned coord on side A / B
+    epin_val: jnp.ndarray    # (I, 2)
 
     @property
     def n_int(self):
@@ -78,6 +87,10 @@ def build_moving_intersections(specs, n_pts_list, dtype=jnp.float64):
     end_dir = np.zeros((I, 2), dtype=np.int32)
     end_val = np.zeros((I, 2))
     xi0 = np.zeros((I, N, 2, 2))
+    both_edges = np.zeros(I)
+    epin_dir = np.zeros((I, 2), dtype=np.int32)
+    epin_val = np.zeros((I, 2))
+    edge_side = np.zeros((I, 2), dtype=bool)
     for i, spec in enumerate(specs):
         pairA[i], pairB[i] = spec.pair
         n = int(n_pts[i])
@@ -95,15 +108,30 @@ def build_moving_intersections(specs, n_pts_list, dtype=jnp.float64):
         end_dir[i] = (int(np.argmax(d0)), int(np.argmax(d1)))
         end_val[i] = (plA[0, end_dir[i, 0]], plA[-1, end_dir[i, 1]])
         xi0[i, n:] = xi0[i, n - 1]  # padded points sit at the last real one
+        # edge-on-both-sides detection (per side: one coordinate is
+        # constant at a parameter-box boundary along the whole curve)
+        for side, pl in ((0, plA), (1, plB)):
+            for c in range(2):
+                col = pl[:, c]
+                if np.all(np.abs(col - col[0]) < 1e-9) and \
+                        (abs(col[0]) < 1e-9 or abs(col[0] - 1) < 1e-9):
+                    epin_dir[i, side] = c
+                    epin_val[i, side] = col[0]
+                    edge_side[i, side] = True
+                    break
+        both_edges[i] = float(edge_side[i, 0] and edge_side[i, 1])
     return MovingIntersections(
         pairA=jnp.asarray(pairA), pairB=jnp.asarray(pairB),
         n_pts=jnp.asarray(n_pts), mask=jnp.asarray(mask, dtype=dtype),
         end_dir=jnp.asarray(end_dir), end_val=jnp.asarray(end_val, dtype=dtype),
-        xi0=jnp.asarray(xi0, dtype=dtype))
+        xi0=jnp.asarray(xi0, dtype=dtype),
+        both_edges=jnp.asarray(both_edges, dtype=dtype),
+        epin_dir=jnp.asarray(epin_dir),
+        epin_val=jnp.asarray(epin_val, dtype=dtype))
 
 
 def _residual_one(ss: SurfSet, p, q, cp, iA, iB, n, mask, end_dir, end_val,
-                  xi0, x):
+                  xi0, both_edges, epin_dir, epin_val, x):
     """Residual (4N,) for one intersection; x = flattened (N,2,2) xi."""
     N = mask.shape[0]
     xi = x.reshape(N, 2, 2)
@@ -116,6 +144,25 @@ def _residual_one(ss: SurfSet, p, q, cp, iA, iB, n, mask, end_dir, end_val,
 
     # block1: coincidence, padded rows pin [xiA0, xiA1, xiB0] to xi0
     coin = ptsA - ptsB                               # (N, 3)
+    # EDGE-TO-EDGE intersections (both curves on parametric edges, e.g.
+    # co-tangent seams): the raw 3D coincidence is rank-2 per point —
+    # replace it with [pin edge coord A, pin edge coord B, along-curve
+    # coincidence projection] (reference edge-constraint bookkeeping,
+    # GOLDFISH/cpiga2xi.py:231-302)
+    tan = jnp.roll(ptsA, -1, axis=0) - jnp.roll(ptsA, 1, axis=0)
+    tan = tan.at[0].set(ptsA[1] - ptsA[0])
+    last = n - 1
+    tan_last = jnp.take(ptsA, last, axis=0) - jnp.take(
+        ptsA, jnp.maximum(last - 1, 0), axis=0)
+    tan = jnp.where((k >= last)[:, None], tan_last, tan)
+    that = tan / (jnp.linalg.norm(tan, axis=-1, keepdims=True) + 1e-300)
+    coin_edge = jnp.stack([
+        jnp.take_along_axis(xiA, epin_dir[0][None, None].repeat(N, 0),
+                            axis=1)[:, 0] - epin_val[0],
+        jnp.take_along_axis(xiB, epin_dir[1][None, None].repeat(N, 0),
+                            axis=1)[:, 0] - epin_val[1],
+        jnp.sum(coin * that, axis=-1)], axis=-1)
+    coin = jnp.where(both_edges > 0.5, coin_edge, coin)
     pin1 = jnp.stack([xi[:, 0, 0] - xi0[:, 0, 0],
                       xi[:, 0, 1] - xi0[:, 0, 1],
                       xi[:, 1, 0] - xi0[:, 1, 0]], axis=-1)
@@ -139,25 +186,25 @@ def _residual_one(ss: SurfSet, p, q, cp, iA, iB, n, mask, end_dir, end_val,
 
 def _mi_args(mi: MovingIntersections):
     return (mi.pairA, mi.pairB, mi.n_pts, mi.mask, mi.end_dir,
-            mi.end_val, mi.xi0)
+            mi.end_val, mi.xi0, mi.both_edges, mi.epin_dir, mi.epin_val)
 
 
 @partial(jax.jit, static_argnames=("p", "q"))
 def _c2x_res(ss, mi, cp, x, *, p, q):
-    def res_one(iA, iB, n, mask, ed, ev, xi0, xx):
+    def res_one(iA, iB, n, mask, ed, ev, xi0, be, epd, epv, xx):
         return _residual_one(ss, p, q, cp, iA, iB, n, mask, ed, ev,
-                             xi0, xx)
+                             xi0, be, epd, epv, xx)
 
     return jax.vmap(res_one)(*_mi_args(mi), x)
 
 
 @partial(jax.jit, static_argnames=("p", "q"))
 def _c2x_jac(ss, mi, cp, x, *, p, q):
-    def res_one(iA, iB, n, mask, ed, ev, xi0, xx):
+    def res_one(iA, iB, n, mask, ed, ev, xi0, be, epd, epv, xx):
         return _residual_one(ss, p, q, cp, iA, iB, n, mask, ed, ev,
-                             xi0, xx)
+                             xi0, be, epd, epv, xx)
 
-    return jax.vmap(jax.jacfwd(res_one, argnums=7))(*_mi_args(mi), x)
+    return jax.vmap(jax.jacfwd(res_one, argnums=10))(*_mi_args(mi), x)
 
 
 @partial(jax.jit, static_argnames=("p", "q", "max_it"))

@@ -1,0 +1,280 @@
+"""STEP (ISO 10303-21) B-spline surface import/export.
+
+The reference reaches STEP geometry through pythonOCC
+(`read_stp_file`/CADDEE's c172.stp prologue; reference usage:
+/root/reference/demos_om/shape_opt/eVTOL/
+evtol_wing_shape_thickness_opt_wint.py prologue, SURVEY.md section
+3.3). This module parses Part-21 files natively: every
+B_SPLINE_SURFACE_WITH_KNOTS entity — plain or inside a complex
+(rational) entity with RATIONAL_B_SPLINE_SURFACE weights — becomes a
+NURBS surface, with knot vectors normalized ("reparametrized") to
+[0, 1]. `write_step_file` emits the same subset and round-trips
+exactly with the reader.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from goldfish_tpu.geometry.nurbs import NURBS
+
+__all__ = ["read_step_file", "write_step_file",
+           "reparametrize_surfaces", "refine_surfaces"]
+
+
+def _split_entities(text: str) -> dict[int, str]:
+    """#id = BODY ; records of the DATA section."""
+    m = re.search(r"DATA\s*;(.*?)ENDSEC\s*;", text,
+                  re.DOTALL | re.IGNORECASE)
+    data = m.group(1) if m else text
+    out = {}
+    for stmt in re.split(r";\s*", data):
+        stmt = stmt.strip()
+        mm = re.match(r"#(\d+)\s*=\s*(.*)", stmt, re.DOTALL)
+        if mm:
+            out[int(mm.group(1))] = mm.group(2).strip()
+    return out
+
+
+def _tokenize(body: str):
+    """Parse a STEP argument list into nested Python lists."""
+    pos = [0]
+
+    def parse_list():
+        assert body[pos[0]] == "("
+        pos[0] += 1
+        items = []
+        buf = ""
+        while pos[0] < len(body):
+            c = body[pos[0]]
+            if c == "(":
+                items.append(parse_list())
+            elif c == ")":
+                if buf.strip():
+                    items.append(buf.strip())
+                pos[0] += 1
+                return items
+            elif c == ",":
+                if buf.strip():
+                    items.append(buf.strip())
+                buf = ""
+                pos[0] += 1
+            elif c == "'":
+                # string literal
+                j = body.index("'", pos[0] + 1)
+                buf += body[pos[0]: j + 1]
+                pos[0] = j + 1
+            else:
+                buf += c
+                pos[0] += 1
+        raise ValueError("unbalanced parens in STEP record")
+
+    i = body.index("(")
+    pos[0] = i
+    return parse_list()
+
+
+def _num(tok):
+    return float(tok)
+
+
+def _surface_from_args(args, weights_args, points_of):
+    """args: B_SPLINE_SURFACE_WITH_KNOTS argument list (name, degu,
+    degv, cp-grid, form, 3 flags, umult, vmult, uknots, vknots, ...);
+    complex rational entities drop the leading name/degree args into
+    separate sub-records, handled by the caller."""
+    deg_u = int(args[1])
+    deg_v = int(args[2])
+    grid = args[3]
+    mult_u = [int(x) for x in args[8]]
+    mult_v = [int(x) for x in args[9]]
+    knot_u = [float(x) for x in args[10]]
+    knot_v = [float(x) for x in args[11]]
+
+    P = np.array([[points_of(ref) for ref in row] for row in grid])
+    n_u, n_v = P.shape[0], P.shape[1]
+    U = np.repeat(knot_u, mult_u)
+    V = np.repeat(knot_v, mult_v)
+    assert len(U) == n_u + deg_u + 1, (len(U), n_u, deg_u)
+    assert len(V) == n_v + deg_v + 1, (len(V), n_v, deg_v)
+    # reparametrize to [0, 1]
+    U = (U - U[0]) / (U[-1] - U[0])
+    V = (V - V[0]) / (V[-1] - V[0])
+
+    if weights_args is not None:
+        W = np.array([[float(x) for x in row] for row in weights_args])
+    else:
+        W = np.ones((n_u, n_v))
+    ctrl = np.concatenate([P * W[..., None], W[..., None]], axis=-1)
+    return NURBS([U, V], ctrl)
+
+
+def read_step_file(path: str) -> list[NURBS]:
+    """All B-spline surfaces of a STEP Part-21 file, knots normalized
+    to [0, 1]."""
+    with open(path, "r", errors="replace") as f:
+        text = f.read()
+    ents = _split_entities(text)
+
+    pts: dict[int, np.ndarray] = {}
+    for eid, body in ents.items():
+        if body.upper().startswith("CARTESIAN_POINT"):
+            args = _tokenize(body)
+            pts[eid] = np.array([_num(x) for x in args[1]])
+
+    def points_of(ref):
+        return pts[int(str(ref).lstrip("#"))]
+
+    surfs = []
+    for eid, body in sorted(ents.items()):
+        up = body.upper()
+        if up.startswith("B_SPLINE_SURFACE_WITH_KNOTS"):
+            args = _tokenize(body)
+            surfs.append(_surface_from_args(args, None, points_of))
+        elif up.startswith("(") and "B_SPLINE_SURFACE_WITH_KNOTS" in up:
+            # complex (usually rational) entity: sub-records
+            # B_SPLINE_SURFACE(deg_u, deg_v, grid, ...) +
+            # B_SPLINE_SURFACE_WITH_KNOTS(mults/knots) +
+            # RATIONAL_B_SPLINE_SURFACE(weights)
+            subs = _split_complex(body)
+            base = subs.get("B_SPLINE_SURFACE")
+            wk = subs.get("B_SPLINE_SURFACE_WITH_KNOTS")
+            rat = subs.get("RATIONAL_B_SPLINE_SURFACE")
+            if not (base and wk):
+                continue
+            bargs = _tokenize(base)
+            kargs = _tokenize(wk)
+            wargs = _tokenize(rat)[0] if rat else None
+            # reassemble into the plain-args layout
+            args = ["''", bargs[0], bargs[1], bargs[2],
+                    None, None, None, None,
+                    kargs[0], kargs[1], kargs[2], kargs[3]]
+            surfs.append(_surface_from_args(args, wargs, points_of))
+    return surfs
+
+
+def _split_complex(body: str) -> dict[str, str]:
+    """Split a complex entity '(NAME1(args)NAME2(args)...)' into
+    {NAME: '(args)'} with proper paren balancing (the sub-record names
+    prefix-collide: B_SPLINE_SURFACE vs B_SPLINE_SURFACE_WITH_KNOTS)."""
+    inner = body.strip()
+    assert inner.startswith("(")
+    inner = inner[1:-1] if inner.endswith(")") else inner[1:]
+    out = {}
+    i = 0
+    n = len(inner)
+    while i < n:
+        while i < n and not (inner[i].isalpha() or inner[i] == "_"):
+            i += 1
+        j = i
+        while j < n and (inner[j].isalnum() or inner[j] == "_"):
+            j += 1
+        name = inner[i:j]
+        if j >= n or inner[j] != "(":
+            i = j + 1
+            continue
+        depth = 0
+        k = j
+        while k < n:
+            if inner[k] == "(":
+                depth += 1
+            elif inner[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif inner[k] == "'":
+                k = inner.index("'", k + 1)
+            k += 1
+        out[name] = inner[j:k + 1]
+        i = k + 1
+    return out
+
+
+def write_step_file(path: str, surfs: list[NURBS],
+                    name: str = "goldfish_tpu"):
+    """Emit the surfaces as (rational, complex-entity) STEP B-spline
+    surfaces. Round-trips with `read_step_file`."""
+    lines = ["ISO-10303-21;", "HEADER;",
+             f"FILE_DESCRIPTION(('{name}'),'2;1');",
+             f"FILE_NAME('{name}.stp','2026-01-01',('{name}'),(''),"
+             "'goldfish_tpu','goldfish_tpu','');",
+             "FILE_SCHEMA(('AUTOMOTIVE_DESIGN'));", "ENDSEC;", "DATA;"]
+    eid = 1
+    for s in surfs:
+        n_u, n_v = s.shape
+        p_u, p_v = s.degree
+        P = s.points
+        W = s.weights
+        grid_refs = []
+        for i in range(n_u):
+            row = []
+            for j in range(n_v):
+                lines.append(
+                    f"#{eid}=CARTESIAN_POINT('',({P[i, j, 0]:.17G},"
+                    f"{P[i, j, 1]:.17G},{P[i, j, 2]:.17G}));")
+                row.append(f"#{eid}")
+                eid += 1
+            grid_refs.append("(" + ",".join(row) + ")")
+        grid = "(" + ",".join(grid_refs) + ")"
+
+        def knot_fields(knots):
+            vals, mults = [], []
+            for k in knots:
+                if vals and abs(k - vals[-1]) < 1e-14:
+                    mults[-1] += 1
+                else:
+                    vals.append(float(k))
+                    mults.append(1)
+            return ("(" + ",".join(str(m) for m in mults) + ")",
+                    "(" + ",".join(f"{v:.17G}" for v in vals) + ")")
+
+        mu, ku = knot_fields(s.knots[0])
+        mv, kv = knot_fields(s.knots[1])
+        wtxt = "(" + ",".join(
+            "(" + ",".join(f"{W[i, j]:.17G}" for j in range(n_v)) + ")"
+            for i in range(n_u)) + ")"
+        lines.append(
+            f"#{eid}=(BOUNDED_SURFACE()B_SPLINE_SURFACE({p_u},{p_v},"
+            f"{grid},.UNSPECIFIED.,.F.,.F.,.F.)"
+            f"B_SPLINE_SURFACE_WITH_KNOTS({mu},{mv},{ku},{kv},"
+            f".UNSPECIFIED.)GEOMETRIC_REPRESENTATION_ITEM()"
+            f"RATIONAL_B_SPLINE_SURFACE({wtxt})REPRESENTATION_ITEM('')"
+            f"SURFACE());")
+        eid += 1
+    lines += ["ENDSEC;", "END-ISO-10303-21;"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def reparametrize_surfaces(surfs):
+    """Normalize every surface's knot vectors to [0, 1] (the role of
+    the reference's `reparametrize_BSpline_surfaces`)."""
+    out = []
+    for s in surfs:
+        knots = []
+        for k in s.knots:
+            k = np.asarray(k, dtype=np.float64)
+            knots.append((k - k[0]) / (k[-1] - k[0]))
+        out.append(NURBS(knots, s.control.copy()))
+    return out
+
+
+def refine_surfaces(surfs, num_el=(8, 8), degree=3):
+    """Elevate + uniformly refine imported surfaces for analysis (the
+    role of the reference's `refine_BSpline_surfaces`)."""
+    out = []
+    for s in surfs:
+        p0, q0 = s.degree
+        r = s.elevate(0, max(degree - p0, 0)).elevate(
+            1, max(degree - q0, 0))
+        for ax in range(2):
+            existing = np.unique(r.knots[ax])
+            want = np.linspace(0.0, 1.0, num_el[ax] + 1)
+            add = np.array([k for k in want
+                            if np.min(np.abs(existing - k)) > 1e-12])
+            if add.size:
+                r = r.refine(ax, add)
+        out.append(r)
+    return out

@@ -158,64 +158,107 @@ def internal_energy(stack: PatchStack, d, cp, h_coef, E, nu):
     return jnp.sum(Wpe)
 
 
-def _element_hessians_ref(stack: PatchStack, d, cp, h_coef, E, nu):
+def _element_hessians_ref(stack: PatchStack, d, cp, h_coef, E, nu,
+                          pressure=None):
     """Reference implementation: vmapped jax.hessian over the 3L
-    element dofs (kept as the oracle for element_hessians tests)."""
+    element dofs (kept as the oracle for element_hessians tests).
+    With `pressure`, the element value is the POTENTIAL contribution
+    (internal energy minus follower-pressure work)."""
     de = gather(d, stack.conn)
     pe = gather(cp, stack.conn)
     he = gather(h_coef[..., None], stack.conn)[..., 0]
     R6 = _stack_R6(stack)
+    pr = jnp.zeros_like(E) if pressure is None else pressure
 
-    def elem(R6e, dee, pee, hee, wqe, Ee, nue):
+    def elem(R6e, dee, pee, hee, wqe, Ee, nue, pre):
         L = dee.shape[0]
-        f = lambda dflat: element_energy(
-            R6e, dflat.reshape(L, 3), pee, hee, wqe, Ee, nue)
+
+        def f(dflat):
+            dd = dflat.reshape(L, 3)
+            W = element_energy(R6e, dd, pee, hee, wqe, Ee, nue)
+            Xf = _qp_fields(R6e, pee)
+            uf = _qp_fields(R6e, dd)
+            x = Xf["v"] + uf["v"]
+            xu = Xf["du"] + uf["du"]
+            xv = Xf["dv"] + uf["dv"]
+            vol_cur = jnp.sum(x * jnp.cross(xu, xv), -1)
+            vol_ref = jnp.sum(Xf["v"] * jnp.cross(Xf["du"], Xf["dv"]),
+                              -1)
+            W_p = pre * jnp.sum((vol_cur - vol_ref) / 3.0 * wqe)
+            return W - W_p
+
         return jax.hessian(f)(dee.reshape(-1))
 
-    v = jax.vmap(jax.vmap(elem, in_axes=(0, 0, 0, 0, 0, None, None)),
-                 in_axes=(0, 0, 0, 0, 0, 0, 0))
-    return v(tuple(r for r in R6), de, pe, he, stack.wq, E, nu)
+    v = jax.vmap(jax.vmap(elem, in_axes=(0, 0, 0, 0, 0, None, None,
+                                         None)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+    return v(tuple(r for r in R6), de, pe, he, stack.wq, E, nu, pr)
 
 
-def element_hessians(stack: PatchStack, d, cp, h_coef, E, nu):
-    """Exact per-element stiffness blocks d2W/dd2: (P, E, 3L, 3L).
+def element_hessians(stack: PatchStack, d, cp, h_coef, E, nu,
+                     pressure=None):
+    """Exact per-element POTENTIAL Hessian blocks: (P, E, 3L, 3L).
 
     Jet formulation: the energy density at a qp depends on d only
-    through the 15-component displacement jet z = (du, dv, duu, duv,
-    dvv), so Ke = sum_q B_q^T H_q B_q with H_q the 15x15 qp Hessian
-    (vmapped jax.hessian of a 15-var scalar) and B_q made of the basis
-    tables. This turns the per-dof Hessian (3L = 48 forward passes per
-    element) into tiny-jet Hessians + two MXU einsums — ~5x cheaper
-    than the dense jax.hessian path at bench scale."""
+    through the displacement jet z (15 components (du, dv, duu, duv,
+    dvv); 18 with the value jet when follower pressure contributes),
+    so Ke = sum_q B_q^T H_q B_q with H_q the tiny qp Hessian (vmapped
+    jax.hessian of a jet-var scalar) and B_q made of the basis tables.
+    This turns the per-dof Hessian (3L = 48 forward passes per element)
+    into tiny-jet Hessians + two MXU einsums — ~5x cheaper than the
+    dense jax.hessian path at bench scale.
+
+    `pressure` (P,): FOLLOWER pressure contributes a d-dependent load
+    stiffness -d^2 W_p/dd^2 that MUST be in the tangent — omitting it
+    silently degrades adjoint gradients on pressurized models (round-2
+    finding: 1.5% gradient error on the pressurized tube)."""
     P, En, Q, L = stack.R00.shape
     Xf = surface_fields(stack, cp)
     uf = surface_fields(stack, d)
     he = gather(h_coef[..., None], stack.conn)
     h_qp = _contract(stack.R00, he)[..., 0]             # (P, E, Q)
-    keys = ("du", "dv", "duu", "duv", "dvv")
-    Xz = jnp.stack([Xf[k] for k in keys], axis=-2)      # (P, E, Q, 5, 3)
+    with_p = pressure is not None
+    keys = (("v",) if with_p else ()) + ("du", "dv", "duu", "duv",
+                                         "dvv")
+    nj = len(keys)
+    Xz = jnp.stack([Xf[k] for k in keys], axis=-2)      # (P, E, Q, nj, 3)
     uz = jnp.stack([uf[k] for k in keys], axis=-2)
+    pr = jnp.zeros_like(E) if pressure is None else pressure
 
-    def qp_val(zflat, Xjet, hq, Ee, nue, wq):
-        z = zflat.reshape(5, 3)
+    def qp_val(zflat, Xjet, hq, Ee, nue, pre, wq):
+        z = zflat.reshape(nj, 3)
         zero = jnp.zeros(3, dtype=zflat.dtype)
-        ufq = {"v": zero, "du": z[0], "dv": z[1],
-               "duu": z[2], "duv": z[3], "dvv": z[4]}
-        Xfq = {"v": zero, "du": Xjet[0], "dv": Xjet[1],
-               "duu": Xjet[2], "duv": Xjet[3], "dvv": Xjet[4]}
+        o = 1 if with_p else 0
+        ufq = {"v": z[0] if with_p else zero,
+               "du": z[o], "dv": z[o + 1],
+               "duu": z[o + 2], "duv": z[o + 3], "dvv": z[o + 4]}
+        Xfq = {"v": Xjet[0] if with_p else zero,
+               "du": Xjet[o], "dv": Xjet[o + 1],
+               "duu": Xjet[o + 2], "duv": Xjet[o + 3],
+               "dvv": Xjet[o + 4]}
         psi, J = qp_energy_density(Xfq, ufq, hq, Ee, nue)
-        return psi * J * wq
+        val = psi * J
+        if with_p:
+            x = Xfq["v"] + ufq["v"]
+            xu = Xfq["du"] + ufq["du"]
+            xv = Xfq["dv"] + ufq["dv"]
+            vol_cur = jnp.sum(x * jnp.cross(xu, xv))
+            vol_ref = jnp.sum(Xfq["v"] * jnp.cross(Xfq["du"],
+                                                   Xfq["dv"]))
+            val = val - pre * (vol_cur - vol_ref) / 3.0
+        return val * wq
 
     hess = jax.hessian(qp_val)
     v = jax.vmap(jax.vmap(jax.vmap(
-        hess, in_axes=(0, 0, 0, None, None, 0)),
-        in_axes=(0, 0, 0, None, None, 0)),
-        in_axes=(0, 0, 0, 0, 0, 0))
-    H = v(uz.reshape(P, En, Q, 15), Xz, h_qp, E, nu, stack.wq)
-    H = H.reshape(P, En, Q, 5, 3, 5, 3)
+        hess, in_axes=(0, 0, 0, None, None, None, 0)),
+        in_axes=(0, 0, 0, None, None, None, 0)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0))
+    H = v(uz.reshape(P, En, Q, 3 * nj), Xz, h_qp, E, nu, pr, stack.wq)
+    H = H.reshape(P, En, Q, nj, 3, nj, 3)
 
-    Rs = jnp.stack([stack.R10, stack.R01, stack.R20,
-                    stack.R11, stack.R02], axis=-2)     # (P, E, Q, 5, L)
+    tabs = ((stack.R00,) if with_p else ()) + (
+        stack.R10, stack.R01, stack.R20, stack.R11, stack.R02)
+    Rs = jnp.stack(tabs, axis=-2)                  # (P, E, Q, nj, L)
     tmp = jnp.einsum("peqjxky,peqkm->peqjxmy", H, Rs)
     Ke = jnp.einsum("peqjxmy,peqjl->pelxmy", tmp, Rs)
     return Ke.reshape(P, En, 3 * L, 3 * L)

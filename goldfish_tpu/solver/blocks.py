@@ -40,7 +40,8 @@ class TangentBlocks(NamedTuple):
 
 
 def compute_blocks(data: SystemData, d, cp, h) -> TangentBlocks:
-    Ke = kl_shell.element_hessians(data.stack, d, cp, h, data.E, data.nu)
+    Ke = kl_shell.element_hessians(data.stack, d, cp, h, data.E,
+                                   data.nu, pressure=data.pressure)
     Ki = None
     if data.ifs is not None and data.ifs.n_interfaces > 0:
         Ki = interface_hessians(data.ifs, d, cp, h, data.E)

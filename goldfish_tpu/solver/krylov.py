@@ -70,7 +70,8 @@ def patch_block_precond(data: SystemData, d, cp, h):
     stack = data.stack
     P, C = stack.n_patches, stack.max_cp
     n = 3 * C
-    Ke = kl_shell.element_hessians(stack, d, cp, h, data.E, data.nu)
+    Ke = kl_shell.element_hessians(stack, d, cp, h, data.E, data.nu,
+                                   pressure=data.pressure)
     # local dof -> within-patch dof
     li = (stack.conn[..., :, None] * 3
           + jnp.arange(3, dtype=stack.conn.dtype)).reshape(
@@ -179,7 +180,8 @@ class PairSchwarz:
         stack = data.stack
         P, C = self.P, self.C
         n = 3 * C
-        Ke = kl_shell.element_hessians(stack, d, cp, h, data.E, data.nu)
+        Ke = kl_shell.element_hessians(stack, d, cp, h, data.E, data.nu,
+                                   pressure=data.pressure)
         li = (stack.conn[..., :, None] * 3
               + jnp.arange(3, dtype=stack.conn.dtype)).reshape(
             P, Ke.shape[1], -1)

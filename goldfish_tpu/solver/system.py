@@ -143,7 +143,8 @@ def _assemble_K_scatter(data: SystemData, d, cp, h):
     stack = data.stack
     P, C = stack.n_patches, stack.max_cp
     N = P * C * 3
-    Ke = kl_shell.element_hessians(stack, d, cp, h, data.E, data.nu)
+    Ke = kl_shell.element_hessians(stack, d, cp, h, data.E, data.nu,
+                                   pressure=data.pressure)
     gi = element_global_dofs(stack)  # (P, E, 3L)
     K = jnp.zeros((N, N), dtype=Ke.dtype)
     K = K.at[gi[..., :, None], gi[..., None, :]].add(Ke)
@@ -189,7 +190,8 @@ def assemble_K(data: SystemData, d, cp, h):
     N = P * C3
     dtype = d.dtype
 
-    Ke = kl_shell.element_hessians(stack, d, cp, h, data.E, data.nu)
+    Ke = kl_shell.element_hessians(stack, d, cp, h, data.E, data.nu,
+                                   pressure=data.pressure)
     Td = _patch_dof_onehot(stack.conn, C, dtype)         # (P, E, 3L, C3)
     tmp = jnp.einsum("peij,pejc->peic", Ke, Td)
     Kp = jnp.einsum("peid,peic->pdc", Td, tmp)           # (P, C3, C3)

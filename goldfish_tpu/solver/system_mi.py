@@ -65,7 +65,8 @@ def assemble_K_mi(data, mi, co, ss, p, q, d, cp, h, xi):
     stack = data.stack
     P, C = stack.n_patches, stack.max_cp
     N = P * C * 3
-    Ke = kl_shell.element_hessians(stack, d, cp, h, data.E, data.nu)
+    Ke = kl_shell.element_hessians(stack, d, cp, h, data.E, data.nu,
+                                   pressure=data.pressure)
     gi = element_global_dofs(stack)
     K = jnp.zeros((N, N), dtype=Ke.dtype)
     K = K.at[gi[..., :, None], gi[..., None, :]].add(Ke)

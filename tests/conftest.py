@@ -21,3 +21,17 @@ import jax  # noqa: E402
 # config update is the only reliable override.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled-executable memory between test modules: the suite
+    compiles hundreds of distinct XLA CPU programs and the in-process
+    executable cache eventually crashes the CPU backend compiler
+    (SIGSEGV ~70-85% into a single-process full run). Same-module
+    tests keep their cache; cross-module reuse is minimal anyway."""
+    yield
+    jax.clear_caches()

@@ -91,3 +91,29 @@ def test_grad_volume_wrt_cp_and_h(tb):
     assert abs(float(jnp.sum(gcp * vc) - fd)) / abs(float(fd)) < 1e-7
     fd = central_fd(lambda h: V(sys.cp, h), sys.h_init, vh, 1e-6)
     assert abs(float(jnp.sum(gh * vh) - fd)) / abs(float(fd)) < 1e-7
+
+
+def test_adjoint_with_follower_pressure():
+    """FOLLOWER pressure contributes a d-dependent load stiffness that
+    the tangent (hence the adjoint) must include — omitting it cost a
+    silent 1.5% gradient error on pressurized models (round-2 fix).
+    dJ/dh vs central FD on a pressurized tube."""
+    from goldfish_tpu.models import tube
+
+    sys = tube.build(num_el=2, p=2, pressure=2.0e4)
+    solve = build_solve_fn(sys.data, rtol=1e-11, max_it=30)
+    d0 = sys.zero_displacement()
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.normal(size=np.asarray(sys.h_init).shape)
+                    * np.asarray(sys.stack.cp_mask))
+
+    def J(h):
+        d = solve(sys.cp, h, d0)
+        return kl_shell.internal_energy(sys.stack, d, sys.cp, h,
+                                        sys.E, sys.nu)
+
+    g = jax.grad(J)(sys.h_init)
+    eps = 1e-6
+    fd = (J(sys.h_init + eps * v) - J(sys.h_init - eps * v)) / (2 * eps)
+    ad = float(jnp.sum(g * v))
+    assert abs(ad - float(fd)) / abs(float(fd)) < 1e-6, (ad, float(fd))

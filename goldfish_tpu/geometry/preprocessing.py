@@ -131,10 +131,17 @@ class Preprocessor:
                 if np.any(loA > hiB + tol) or np.any(loB > hiA + tol):
                     continue
                 uvB, dist = closest_point_projection(B, SA)
-                hits = dist < det_tol
+                # prefer TIGHT hits (grid samples essentially ON the
+                # curve — always the case for edge-touching patches);
+                # fall back to the loose detection band, whose PCA
+                # line must then be SNAPPED onto the curve
+                hits_tight = dist < tol
+                loose = hits_tight.sum() < 3
+                hits = (dist < det_tol) if loose else hits_tight
                 if hits.sum() < 3:
                     continue
-                seg = self._fit_segment(A, B, grid[hits], tol)
+                seg = self._fit_segment(A, B, grid[hits], tol,
+                                        snap=loose)
                 if seg is None:
                     continue
                 endsA, endsB, length = seg
@@ -198,32 +205,64 @@ class Preprocessor:
         self.num_intersections = len(self.mapping_list)
         return self
 
-    def _fit_segment(self, A, B, uv_hits, tol):
+    def _snap_to_curve(self, A, B, uv, e_perp, tol, span):
+        """Slide uv along e_perp to the closest-to-B point (two grid
+        refinements); returns (uv_snapped, distance)."""
+        best = (np.asarray(uv, dtype=float), np.inf)
+        lo, hi = -span, span
+        for _ in range(3):
+            s = np.linspace(lo, hi, 33)
+            uvs = np.clip(uv[None] + s[:, None] * e_perp[None], 0.0, 1.0)
+            X = _eval_many(A, uvs, nd=0)[(0, 0)]
+            _, dd = closest_point_projection(B, X)
+            k = int(np.argmin(dd))
+            best = (uvs[k], float(dd[k]))
+            step = s[1] - s[0]
+            lo, hi = s[k] - step, s[k] + step
+        return best
+
+    def _fit_segment(self, A, B, uv_hits, tol, snap=False):
         """PCA line through the hit set in A's parameter space, extended
         by bisection to the curve's true extent; endpoints projected to
-        B."""
+        B. With `snap` (loose detection band), every probed point is
+        first slid TRANSVERSE to the line onto the actual curve — the
+        band's PCA line can sit well off it, and CURVED curves leave
+        any straight line."""
         c = uv_hits.mean(axis=0)
         U, S, Vt = np.linalg.svd(uv_hits - c, full_matrices=False)
         if S[0] < 1e-10:
             return None
         e1 = Vt[0]
+        e_perp = np.array([-e1[1], e1[0]])
+        span = float((np.abs((uv_hits - c) @ e_perp)).max() + 0.05) \
+            if snap else 0.0
+        if snap:
+            c, dc = self._snap_to_curve(A, B, c, e_perp, tol, span)
+            if dc > tol:
+                return None
         t = (uv_hits - c) @ e1
         tmin, tmax = t.min(), t.max()
 
-        def on_curve(tv):
+        def probe(tv):
             uv = np.clip(c + tv * e1, 0.0, 1.0)
+            if snap:
+                uv, d = self._snap_to_curve(A, B, uv, e_perp, tol, span)
+                return uv, d
             X = _eval_many(A, uv[None, :], nd=0)[(0, 0)]
             _, d = closest_point_projection(B, X)
-            return d[0] < tol
+            return uv, float(d[0])
+
+        def on_curve(tv):
+            uv, d = probe(tv)
+            inside = np.all(uv >= -1e-12) and np.all(uv <= 1 + 1e-12)
+            return inside and d < tol
 
         def extend(t0, direction):
             # largest step in `direction` still on the curve & in box
             lo, hi = 0.0, 2.0
             for _ in range(40):
                 mid = 0.5 * (lo + hi)
-                uv = c + (t0 + direction * mid) * e1
-                inside = np.all(uv >= -1e-12) and np.all(uv <= 1 + 1e-12)
-                if inside and on_curve(t0 + direction * mid):
+                if on_curve(t0 + direction * mid):
                     lo = mid
                 else:
                     hi = mid
@@ -231,8 +270,8 @@ class Preprocessor:
 
         tmin = extend(tmin, -1.0)
         tmax = extend(tmax, +1.0)
-        endA0 = np.clip(c + tmin * e1, 0.0, 1.0)
-        endA1 = np.clip(c + tmax * e1, 0.0, 1.0)
+        endA0 = np.clip(probe(tmin)[0], 0.0, 1.0)
+        endA1 = np.clip(probe(tmax)[0], 0.0, 1.0)
         X = _eval_many(A, np.stack([endA0, endA1]), nd=0)[(0, 0)]
         uvB, dB = closest_point_projection(B, X)
         if np.any(dB > 10 * tol):

@@ -164,17 +164,107 @@ def _jit_K_mi(data, mi, co, ss, p, q, cp, h, xi, d):
     return assemble_K_mi(data, mi, co, ss, p, q, d, cp, h, xi)
 
 
+@partial(jax.jit, static_argnames=("p", "q", "nb", "n_ir"))
+def _jvp_ir_solve_mi(data, mi, co, ss, L, invs, dscale, cp, h, xi, d, b,
+                     *, p, q, nb, n_ir):
+    """MI variant of devicechol._jvp_ir_solve: fused substitution +
+    IR sweeps whose matvec is the exact jvp through residual_mi —
+    exact solves against K_mi(d) without fresh assembly, stale-factor
+    tolerant, with the in-program convergence certificate."""
+    from goldfish_tpu.solver.tpu_cholesky import _chol_substitute
+
+    N = dscale.shape[0]
+    Np = L.shape[0]
+
+    def subst(r):
+        rn = dscale * r.reshape(-1)
+        if Np != N:
+            rn = jnp.concatenate(
+                [rn, jnp.zeros(Np - N, dtype=rn.dtype)])
+        y = _chol_substitute(L, invs, rn, nb)
+        return (dscale * y[:N]).reshape(b.shape)
+
+    def matvec(v):
+        mv = jax.jvp(lambda dd: residual_mi(data, mi, co, ss, p, q, dd,
+                                            cp, h, xi),
+                     (d,), (v * data.free,))[1]
+        return mv * data.free
+
+    x = subst(b)
+
+    def sweep(_, carry):
+        x, _ = carry
+        r = (b - matvec(x)) * data.free
+        dx = subst(r)
+        return x + dx, jnp.linalg.norm(dx)
+
+    x, last_dx = jax.lax.fori_loop(0, n_ir, sweep,
+                                   (x, jnp.linalg.norm(x)))
+    return x, last_dx / (jnp.linalg.norm(x) + 1e-300)
+
+
+class PersistentDeviceFactorMI:
+    """MI counterpart of devicechol.PersistentDeviceFactor: one
+    amortized on-device f64 factorization of the MI tangent, inexact
+    substitution directions, self-validating jvp-IR exact solves."""
+
+    def __init__(self, data, mi, co, ss, p, q, nb=256, mb=16,
+                 stale_tol=5e-3, n_ir=3):
+        from goldfish_tpu.solver.tpu_cholesky import DeviceCholesky
+
+        self.args = (data, mi, co, ss)
+        self.p, self.q = p, q
+        self.data = data
+        self.dc = DeviceCholesky(nb=nb, mb=mb)
+        self.stale_tol = stale_tol
+        self.n_ir = n_ir
+        self._ref = None
+        self.n_factor = 0
+
+    def ensure(self, cp, h, xi, d, force=False):
+        from goldfish_tpu.solver.devicechol import PersistentDeviceFactor
+
+        if self._ref is not None and not force:
+            cp0, h0, d0 = self._ref
+            drift = float(PersistentDeviceFactor._drift(
+                cp, h, d, cp0, h0, d0))
+            if drift <= self.stale_tol:
+                return False
+        data, mi, co, ss = self.args
+        K = _jit_K_mi(data, mi, co, ss, self.p, self.q, cp, h, xi, d)
+        self.dc.factor(K)
+        self._ref = (cp, h, d)
+        self.n_factor += 1
+        return True
+
+    def direction(self, r):
+        return self.dc.solve(r)
+
+    def exact_solve(self, cp, h, xi, d, b, n_ir=None, tol=1e-6):
+        data, mi, co, ss = self.args
+        n_ir = self.n_ir if n_ir is None else n_ir
+        for attempt in range(3):
+            x, ratio = _jvp_ir_solve_mi(
+                data, mi, co, ss, self.dc._L, self.dc._invs,
+                self.dc._dscale, cp, h, xi, d, b, p=self.p, q=self.q,
+                nb=self.dc.nb, n_ir=n_ir)
+            if float(ratio) <= tol:
+                return x
+            if attempt == 0:
+                self.ensure(cp, h, xi, d, force=True)
+            else:
+                n_ir = 2 * n_ir
+        return x
+
+
 def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
-                         rtol=1e-10, atol=1e-14, max_it=30, verbose=False):
+                         rtol=1e-10, atol=1e-14, max_it=30, verbose=False,
+                         device_fac=None):
     """Host-driven MI Newton for the TPU path: python composition of
-    small jitted programs + the on-device f64 Cholesky (monolithic
-    while_loop programs crash/corrupt on the axon backend at scale,
-    CLAUDE.md)."""
-    import numpy as np
-
-    from goldfish_tpu.solver import devicechol
-    from goldfish_tpu.solver.tpu_cholesky import DeviceCholesky
-
+    small jitted programs + ONE amortized on-device f64 Cholesky
+    (monolithic while_loop programs crash/corrupt on the axon backend
+    at scale, CLAUDE.md; the persistent-factor flow mirrors
+    solver/implicit.newton_solve_host)."""
     r0v = _jit_residual_mi(data, mi, co, ss, p, q, cp, h, xi,
                            jnp.zeros_like(d0))
     r_ref = float(jnp.linalg.norm(r0v))
@@ -183,17 +273,23 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
     eps = float(jnp.finfo(d0.dtype).eps)
 
+    if device_fac is None:
+        device_fac = PersistentDeviceFactorMI(data, mi, co, ss, p, q)
+
     d = d0
     stall = 0
     it = 0
+    refactored_on_stall = False
+    force_refactor = False
     while (it < max_it and rn > atol and rn > rtol * r_ref):
-        K = _jit_K_mi(data, mi, co, ss, p, q, cp, h, xi, d)
-        dds = devicechol.DeviceDirectSolver().factor_from_K(K)
-        delta = dds.solve(-r) * data.free
+        device_fac.ensure(cp, h, xi, d, force=force_refactor)
+        force_refactor = False
+        delta = device_fac.direction(-r) * data.free
         Pi0 = float(_jit_potential_mi(data, mi, co, ss, p, q, cp, h, xi, d))
         slope = float(jnp.sum(r * delta))
         done_slope = abs(slope) <= 4.0 * eps * abs(Pi0) + 1e-300
         alpha = 1.0
+        ls_fail = False
         if not done_slope:
             for _ in range(30):
                 Pi_try = float(_jit_potential_mi(
@@ -201,6 +297,13 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
                 if Pi_try <= Pi0 + 1e-4 * alpha * slope + 16 * eps * abs(Pi0):
                     break
                 alpha *= 0.5
+            else:
+                ls_fail = True
+        if ls_fail and not refactored_on_stall:
+            device_fac.ensure(cp, h, xi, d, force=True)
+            refactored_on_stall = True
+            continue
+        rn_prev = rn
         d = d + alpha * delta
         r = _jit_residual_mi(data, mi, co, ss, p, q, cp, h, xi, d)
         rn = float(jnp.linalg.norm(r))
@@ -209,6 +312,8 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
         it += 1
         if verbose:
             print(f"  newton(mi,host) it {it}: |r|={rn:.3e} alpha={alpha:g}")
+        if rn > 0.25 * rn_prev and rn > rtol * r_ref:
+            force_refactor = True
         if done_slope:
             break
         if Pi_new >= Pi0 - 64 * eps * abs(Pi0):
@@ -237,17 +342,18 @@ def _adjoint_solve_mi_direct(data, mi, co, ss, p, q, d, cp, h, xi, g):
                                        xi, lam)
 
 
-def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g):
-    """MI adjoint; on TPU composed from small programs + the device
-    f64 Cholesky (axon hazards, CLAUDE.md); direct f64 LU on CPU."""
+def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g,
+                     device_fac=None):
+    """MI adjoint; on TPU composed from small programs + the amortized
+    persistent device factor with self-validating jvp-IR exact solves
+    (axon hazards, CLAUDE.md); direct f64 LU on CPU."""
     from goldfish_tpu.solver.linalg import mode as _mode
 
     if _mode() == "mixed":
-        from goldfish_tpu.solver import devicechol
-
-        K = _jit_K_mi(data, mi, co, ss, p, q, cp, h, xi, d)
-        dds = devicechol.DeviceDirectSolver().factor_from_K(K)
-        lam = dds.solve(g * data.free) * data.free
+        fac = device_fac if device_fac is not None \
+            else PersistentDeviceFactorMI(data, mi, co, ss, p, q)
+        fac.ensure(cp, h, xi, d)
+        lam = fac.exact_solve(cp, h, xi, d, g * data.free) * data.free
         return _jit_res_vjp_mi(data, mi, co, ss, p, q, d, cp, h, xi, lam)
     return _adjoint_solve_mi_direct(data, mi, co, ss, p, q, d, cp, h,
                                     xi, g)
@@ -263,12 +369,21 @@ def build_solve_fn_mi(data, mi, co, ss, p, q, rtol=1e-10, atol=1e-14,
 
     from goldfish_tpu.solver.linalg import mode as _mode
 
+    # one persistent device factor shared by forward Newton AND adjoint
+    # (amortized across optimizer iterations; solver/devicechol.py)
+    pdf = PersistentDeviceFactorMI(data, mi, co, ss, p, q) \
+        if _mode() == "mixed" else None
+    floor_hint = [atol]
+
     @jax.custom_vjp
     def solve(cp, h, xi, d0):
         if _mode() == "mixed":
-            d, _, _ = newton_solve_mi_host(data, mi, co, ss, p, q, cp, h,
-                                           xi, d0, rtol=rtol, atol=atol,
-                                           max_it=max_it)
+            d, its, rn = newton_solve_mi_host(
+                data, mi, co, ss, p, q, cp, h, xi, d0, rtol=rtol,
+                atol=max(atol, floor_hint[0]), max_it=max_it,
+                device_fac=pdf)
+            if its < max_it:
+                floor_hint[0] = max(atol, 1.5 * rn)
             return d
         d, _, _ = newton_solve_mi(data, mi, co, ss, p, q, cp, h, xi, d0,
                                   rtol=rtol, atol=atol, max_it=max_it)
@@ -281,7 +396,7 @@ def build_solve_fn_mi(data, mi, co, ss, p, q, rtol=1e-10, atol=1e-14,
     def bwd(resids, g):
         d, cp, h, xi = resids
         dcp, dh, dxi = adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h,
-                                        xi, g)
+                                        xi, g, device_fac=pdf)
         return dcp, dh, dxi, jnp.zeros_like(d)
 
     solve.defvjp(fwd, bwd)

@@ -29,6 +29,7 @@ from goldfish_tpu.om_comps.components import (  # noqa: F401
     IntEnergyComp,
     IntXiEdgeComp,
     MaxvMStressComp,
+    VMStressComp,
     VolumeComp,
 )
 from goldfish_tpu.solver.system import NonMatchingSystem  # noqa: F401

@@ -43,7 +43,7 @@ from goldfish_tpu.operations.exops import (
 __all__ = [
     "DispStatesComp", "DispMintStatesComp", "CPIGA2XiComp",
     "IntXiEdgeComp", "IntEnergyComp", "VolumeComp", "ComplianceComp",
-    "MaxvMStressComp", "CPFE2IGAComp", "HthFE2IGAComp", "HthFFD2FEComp",
+    "MaxvMStressComp", "VMStressComp", "CPFE2IGAComp", "HthFE2IGAComp", "HthFFD2FEComp",
     "HthMapComp", "CPFFD2SurfComp", "CPFFDAlignComp", "CPFFDPinComp",
     "CPFFDReguComp", "HthFFDAlignComp", "HthFFDReguComp",
     "CPSurfAlignComp", "CPSurfOrderElevationComp",
@@ -322,6 +322,56 @@ class ComplianceComp(_ObjectiveComp):
 class MaxvMStressComp(_ObjectiveComp):
     op_cls = MaxvMStressExOperation
     default_out = "max_vmstress"
+
+
+class VMStressComp(om.ExplicitComponent):
+    """Per-quadrature-point von Mises stress VECTOR output (the OM
+    counterpart of the reference's csdl vmstress_model,
+    GOLDFISH/csdl_models/vmstress_model.py:1-331)."""
+
+    def initialize(self):
+        self.options.declare("nonmatching_sys")
+        self.options.declare("input_cp_name", default="CP_IGA")
+        self.options.declare("input_h_th_name", default="thickness_IGA")
+        self.options.declare("input_u_name", default="displacements")
+        self.options.declare("output_name", default="von_mises_stress")
+        self.options.declare("through", default="top")
+
+    def init_parameters(self):
+        from goldfish_tpu.operations.exops import VMStressExOperation
+
+        self.op = VMStressExOperation(self.options["nonmatching_sys"],
+                                      through=self.options["through"])
+        self.cp_name = self.options["input_cp_name"]
+        self.h_name = self.options["input_h_th_name"]
+        self.u_name = self.options["input_u_name"]
+        self.out_name = self.options["output_name"]
+
+    def setup(self):
+        op = self.op
+        sys = self.options["nonmatching_sys"]
+        n = op.layout.n_flat
+        self.add_input(self.cp_name, shape=n * 3,
+                       val=np.asarray(op.layout.to_flat(sys.cp)).ravel())
+        self.add_input(self.h_name, shape=n,
+                       val=np.asarray(op.layout.to_flat(
+                           sys.h_init[..., None])).ravel())
+        self.add_input(self.u_name, shape=n * 3)
+        self.add_output(self.out_name, shape=op.out_size)
+        self.declare_partials(self.out_name, "*")
+
+    def compute(self, inputs, outputs):
+        outputs[self.out_name] = self.op.compute(
+            inputs[self.cp_name], inputs[self.h_name],
+            inputs[self.u_name])
+
+    def compute_partials(self, inputs, partials):
+        Jcp, Jh, Ju = self.op.jacobians(
+            inputs[self.cp_name], inputs[self.h_name],
+            inputs[self.u_name])
+        partials[self.out_name, self.cp_name] = Jcp
+        partials[self.out_name, self.h_name] = Jh
+        partials[self.out_name, self.u_name] = Ju
 
 
 class _LinearMapComp(om.ExplicitComponent):

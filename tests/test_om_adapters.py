@@ -209,3 +209,39 @@ def test_om_mi_driver_converges(mi_prob):
     assert J1 < J0
     edge = np.asarray(prob["int_xi_edge_comp.int_xi_edge"])
     assert np.max(np.abs(edge)) < 1e-6
+
+
+def test_vmstress_comp(plate_prob):
+    """Per-qp von Mises VECTOR comp (OM counterpart of the reference's
+    csdl vmstress_model): values + FD-verified partials."""
+    try:
+        import openmdao.api as om
+    except ModuleNotFoundError:
+        from goldfish_tpu.om_shim import api as om
+
+    from goldfish_tpu.om_comps.components import VMStressComp
+
+    prob, sys, th = plate_prob
+    comp = VMStressComp(nonmatching_sys=sys)
+    comp.init_parameters()
+    model = om.Group()
+    model.add_subsystem("vm", comp)
+    p2 = om.Problem(model=model)
+    p2.setup()
+    # feed the converged state from the main problem
+    p2["vm.displacements"] = np.asarray(
+        prob["disp_states_comp.displacements"])
+    p2["vm.thickness_IGA"] = np.asarray(
+        prob["h_th_fe2iga_comp.thickness_IGA"])
+    p2.run_model()
+    s = np.asarray(p2["vm.von_mises_stress"])
+    assert s.size == comp.op.out_size and np.all(np.isfinite(s))
+    assert s.max() > 0
+    report = p2.check_partials(step=1e-9)
+    for comp_name, pairs in report.items():
+        for key, entry in pairs.items():
+            denom = np.linalg.norm(entry["J_fd"])
+            if denom < 1e-6 * np.abs(entry["J_fwd"]).max():
+                continue
+            assert entry["rel error"] < 5e-4, (comp_name, key,
+                                               entry["rel error"])

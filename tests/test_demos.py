@@ -62,3 +62,11 @@ def test_caddee_demo_reduced():
     J0, tip, gh, model = main(n_sections=2, num_el=2, p=2, n_fp=2,
                               verbose=False)
     assert np.isfinite(J0) and J0 > 0
+
+
+@pytest.mark.slow
+def test_curved_mi_demo_reduced():
+    from demos.shape_opt_mint_tbeam_curved import main
+
+    res, sys_ = main(num_el=3, p=2, maxiter=3, verbose=False)
+    assert res.fun < res.history[0]

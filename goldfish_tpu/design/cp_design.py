@@ -19,7 +19,6 @@ import numpy as np
 from goldfish_tpu.ops.bspline import open_uniform_knots
 from goldfish_tpu.ops.refine import (
     degree_elevation_operator,
-    knots_after_elevation,
     refine_knots_operator,
     surface_operator,
 )

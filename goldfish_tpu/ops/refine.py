@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from goldfish_tpu.ops.bspline import basis_at_points, find_span, greville
+from goldfish_tpu.ops.bspline import find_span
 
 __all__ = [
     "insert_knot_operator",

@@ -19,7 +19,7 @@ successive evaluations — the analogue of the reference keeping
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from goldfish_tpu.geometry.patch_stack import PatchStack
 from goldfish_tpu.physics.kl_shell import surface_fields

@@ -21,7 +21,6 @@ a native f64 LU solve. Set GOLDFISH_TPU_LINEAR=direct|mixed to force.
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp

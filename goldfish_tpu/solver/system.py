@@ -17,7 +17,6 @@ AD of the single scalar potential.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -32,7 +32,6 @@ from goldfish_tpu.solver.linalg import linear_solve
 from goldfish_tpu.solver.system import (
     NonMatchingSystem,
     SystemData,
-    assemble_K,
     element_global_dofs,
 )
 

@@ -83,7 +83,6 @@ class SurfaceWriter:
         self.counter = 0
 
     def save(self, d=None, h=None, tag=None):
-        import jax.numpy as jnp
 
         from goldfish_tpu.ops.bspline import rational_basis_2d
 

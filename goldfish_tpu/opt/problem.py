@@ -143,18 +143,32 @@ class OptProblem:
     def _run_pyoptsparse(self, optimizer, maxiter, tol, verbose,
                          opt_settings):
         """pyOptSparse driver (SNOPT et al.); exercised only where the
-        package exists (not baked into this image)."""
+        package exists (not baked into this image).
+
+        Sensitivities are ANALYTIC: the same jax.value_and_grad /
+        jacrev adjoint totals the SLSQP path uses, handed to
+        pyOptSparse as a `sens` callback — at KL-shell conditioning FD
+        totals are both inaccurate and O(n_dv) solves per iteration.
+        pyOptSparse sees the SCALED design space (value = scaler*init,
+        like run_slsqp), matching `_unflatten`'s descaling."""
         import numpy as np
         import pyoptsparse
 
         names = [dv.name for dv in self._dvs]
+        offs, _ = self._pack_info()
+        slices = {dv.name: slice(int(o0), int(o1))
+                  for dv, o0, o1 in zip(self._dvs, offs[:-1], offs[1:])}
+        state_box = [self._state0]
+
+        def _flat(xdict):
+            return jnp.concatenate([jnp.asarray(xdict[n]).ravel()
+                                    for n in names])
 
         def objfun(xdict):
-            x = jnp.concatenate([jnp.asarray(xdict[n]).ravel()
-                                 for n in names])
-            dvs = self._unflatten(x)
+            dvs = self._unflatten(_flat(xdict))
             if self._state0 is not None:
-                J, _ = self._obj(dvs, self._state0)
+                J, new_state = self._obj(dvs, state_box[0])
+                state_box[0] = new_state
             else:
                 J = self._obj(dvs)
             funcs = {"obj": float(self._obj_scaler * J)}
@@ -163,11 +177,43 @@ class OptProblem:
                     c.scaler * jnp.atleast_1d(c.fn(dvs)))
             return funcs, False
 
+        if self._state0 is not None:
+            def raw(x, state):
+                J, new_state = self._obj(self._unflatten(x), state)
+                return self._obj_scaler * J, new_state
+
+            vg_obj = jax.value_and_grad(raw, has_aux=True)
+        else:
+            vg_obj = jax.value_and_grad(
+                lambda x: self._obj_scaler * self._obj(
+                    self._unflatten(x)))
+        con_jacs = {
+            c.name: jax.jacrev(
+                lambda x, c=c: c.scaler * jnp.atleast_1d(
+                    c.fn(self._unflatten(x))))
+            for c in self._cons}
+
+        def sens(xdict, funcs):
+            x = _flat(xdict)
+            if self._state0 is not None:
+                (_, new_state), g = vg_obj(x, state_box[0])
+                state_box[0] = new_state
+            else:
+                _, g = vg_obj(x)
+            g = np.asarray(g, dtype=np.float64)
+            out = {"obj": {n: g[slices[n]] for n in names}}
+            for c in self._cons:
+                Jc = np.asarray(con_jacs[c.name](x), dtype=np.float64)
+                out[c.name] = {n: Jc[:, slices[n]] for n in names}
+            return out, False
+
         prob = pyoptsparse.Optimization("goldfish_tpu", objfun)
+        sc = lambda v, s: None if v is None else np.asarray(v) * s
         for dv in self._dvs:
             prob.addVarGroup(dv.name, int(np.asarray(dv.init).size),
-                             value=np.asarray(dv.init),
-                             lower=dv.lower, upper=dv.upper)
+                             value=dv.scaler * np.asarray(dv.init),
+                             lower=sc(dv.lower, dv.scaler),
+                             upper=sc(dv.upper, dv.scaler))
         prob.addObj("obj")
         for c in self._cons:
             n = int(np.atleast_1d(np.asarray(
@@ -184,7 +230,7 @@ class OptProblem:
             prob.addConGroup(c.name, n, **kw)
         opt_cls = getattr(pyoptsparse, optimizer.upper())
         opt = opt_cls(options=dict(opt_settings))
-        sol = opt(prob, sens="FD")
+        sol = opt(prob, sens=sens)
         x = jnp.concatenate([jnp.asarray(sol.xStar[n]).ravel()
                              for n in names])
         xdict = {k: np.asarray(v)

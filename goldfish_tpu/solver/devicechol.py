@@ -94,10 +94,12 @@ class DeviceDirectSolver:
 
     def update_K(self, K):
         """Refresh the IR matrix WITHOUT refactoring: sweeps then
-        refine against the newer tangent. Valid within one optimizer
-        iteration (a warm Newton step of staleness refines to the same
-        ~5e-5 emulation floor, measured round 2); design-level 1e-4
-        staleness still diverges — refactor across design changes."""
+        refine against the newer tangent. With the FUSED
+        substitution+IR program and an exact refinement matvec, stale
+        factors refine fine (round-2 measurement,
+        scripts/stale_ir_wing.py: dh/h = 1e-3 reaches the ~2e-6 floor
+        in 2 sweeps, 1e-2 in 4) — the convergence certificate /
+        refactor logic in PersistentDeviceFactor handles the rest."""
         self._K = K
         return self
 
@@ -172,6 +174,8 @@ class PersistentDeviceFactor:
         self.n_ir = n_ir
         self._ref = None         # (cp, h, d) at factor time
         self.n_factor = 0
+        self.last_ratio = 0.0    # certificate of the last exact_solve
+        self.nonconverged = False  # any exact_solve ever failed cert?
 
     @staticmethod
     @jax.jit
@@ -213,18 +217,30 @@ class PersistentDeviceFactor:
         """K(d) x = b via jvp-matvec IR, SELF-VALIDATING: if the
         in-program convergence certificate says the sweeps did not
         contract to `tol` (factor too stale for IR), refactor at the
-        current state and redo — exactness is guaranteed, the drift
-        heuristic is only a fast path."""
+        current state and redo. If the certificate STILL fails after a
+        fresh factor and doubled sweeps, the failure is made visible
+        (warning + `nonconverged` flag) rather than silently
+        propagating an inaccurate solve into adjoint gradients."""
         n_ir = self.n_ir if n_ir is None else n_ir
         for attempt in range(3):
             x, ratio = _jvp_ir_solve(self.data, self.dc._L,
                                      self.dc._invs, self.dc._dscale,
                                      cp, h, d, b, nb=self.dc.nb,
                                      n_ir=n_ir)
-            if float(ratio) <= tol:
+            self.last_ratio = float(ratio)
+            if self.last_ratio <= tol:
                 return x
             if attempt == 0:
                 self.ensure(cp, h, d, force=True)
             else:
                 n_ir = 2 * n_ir  # fresh factor: just sweep more
+        self.nonconverged = True
+        import warnings
+
+        warnings.warn(
+            "PersistentDeviceFactor.exact_solve: IR certificate did not "
+            f"contract (last correction ratio {self.last_ratio:.3e} > "
+            f"tol {tol:.1e}) even after a fresh factorization — the "
+            "returned solve (and any gradient built on it) may be "
+            "inaccurate.", RuntimeWarning, stacklevel=2)
         return x

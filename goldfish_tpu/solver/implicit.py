@@ -291,6 +291,11 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
             device_fac.ensure(cp, h, d, force=True)
             refactored_on_stall = True
             continue
+        if not ls_fail:
+            # re-arm the stall refactor: a later line-search failure at
+            # a NEW iterate deserves its own fresh-factor retry (the
+            # one-shot latch wasted a max_it slot on a 0.5^30 no-op)
+            refactored_on_stall = False
         rn_prev = rn
         d = d + alpha * delta
         r, rn_, Pi_new_ = _jit_res_pot(data, cp, h, d)

@@ -219,20 +219,28 @@ class PersistentDeviceFactorMI:
         self.n_ir = n_ir
         self._ref = None
         self.n_factor = 0
+        self.last_ratio = 0.0
+        self.nonconverged = False
 
     def ensure(self, cp, h, xi, d, force=False):
         from goldfish_tpu.solver.devicechol import PersistentDeviceFactor
 
         if self._ref is not None and not force:
-            cp0, h0, d0 = self._ref
+            cp0, h0, d0, xi0 = self._ref
             drift = float(PersistentDeviceFactor._drift(
                 cp, h, d, cp0, h0, d0))
+            # K_mi depends on xi (interface quadrature points move with
+            # it): a xi-only design perturbation must register as drift
+            # too, normalized by xi's own scale like the other fields.
+            dxi = float(jnp.linalg.norm(xi - xi0)
+                        / (jnp.linalg.norm(xi0) + 1e-300))
+            drift = max(drift, dxi)
             if drift <= self.stale_tol:
                 return False
         data, mi, co, ss = self.args
         K = _jit_K_mi(data, mi, co, ss, self.p, self.q, cp, h, xi, d)
         self.dc.factor(K)
-        self._ref = (cp, h, d)
+        self._ref = (cp, h, d, xi)
         self.n_factor += 1
         return True
 
@@ -247,12 +255,22 @@ class PersistentDeviceFactorMI:
                 data, mi, co, ss, self.dc._L, self.dc._invs,
                 self.dc._dscale, cp, h, xi, d, b, p=self.p, q=self.q,
                 nb=self.dc.nb, n_ir=n_ir)
-            if float(ratio) <= tol:
+            self.last_ratio = float(ratio)
+            if self.last_ratio <= tol:
                 return x
             if attempt == 0:
                 self.ensure(cp, h, xi, d, force=True)
             else:
                 n_ir = 2 * n_ir
+        # same visibility contract as PersistentDeviceFactor.exact_solve
+        self.nonconverged = True
+        import warnings
+
+        warnings.warn(
+            "PersistentDeviceFactorMI.exact_solve: IR certificate did "
+            f"not contract (ratio {self.last_ratio:.3e} > tol {tol:.1e})"
+            " even after a fresh factorization — the returned solve may "
+            "be inaccurate.", RuntimeWarning, stacklevel=2)
         return x
 
 
@@ -302,6 +320,8 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
             device_fac.ensure(cp, h, xi, d, force=True)
             refactored_on_stall = True
             continue
+        if not ls_fail:
+            refactored_on_stall = False  # re-arm (see implicit.py)
         rn_prev = rn
         d = d + alpha * delta
         r = _jit_residual_mi(data, mi, co, ss, p, q, cp, h, xi, d)

@@ -244,10 +244,11 @@ def blocked_chol_solve_ir(L, invs, K, b, nb: int = 256, n_ir: int = 3):
     """Triangular solve + n_ir FIXED iterative-refinement sweeps
     against K, fused into ONE program (matmul-only; each host-composed
     sweep costs a ~27 ms axon tunnel roundtrip otherwise). K may be the
-    exact matrix the factor came from, or a NEWER tangent — a factor
-    that is one warm Newton step stale refines to the same ~5e-5
-    emulation floor (measured round 2; design-level 1e-4 staleness
-    still diverges, CLAUDE.md)."""
+    exact matrix the factor came from, or a NEWER tangent — with an
+    exact refinement matvec, stale factors refine fine (round-2
+    measurement, scripts/stale_ir_wing.py: dh/h = 1e-3 reaches the
+    ~2e-6 floor in 2 sweeps, 1e-2 in 4); the caller's convergence
+    certificate / refactor logic guards the pathological cases."""
     x = _chol_substitute(L, invs, b, nb)
 
     def sweep(_, x):

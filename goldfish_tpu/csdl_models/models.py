@@ -20,7 +20,13 @@ from __future__ import annotations
 
 import numpy as np
 
-import csdl_alpha as csdl
+try:
+    import csdl_alpha as csdl
+except ModuleNotFoundError:
+    # executable csdl_alpha-API-subset runtime (mirror of om_shim):
+    # the adapter layer runs and is derivative-verified in CI even
+    # where the real package is absent (tests/test_csdl_adapters.py)
+    from goldfish_tpu import csdl_shim as csdl
 
 from goldfish_tpu.operations.disp_imop import DispImOperation
 from goldfish_tpu.operations.disp_mi_imop import (
@@ -83,14 +89,20 @@ class DispStatesModel(csdl.experimental.CustomImplicitOperation):
         else:
             cp_b, h_b, d_b = self.op.apply_linear_rev(
                 d_residuals["displacements"])
+            # ACCUMULATE, like the reference op layer's in-place `+=`
+            # (reference: GOLDFISH/operations/disp_imop.py:115-127) and
+            # the OM comps — assignment would drop contributions in
+            # multi-consumer graphs
             if "CP_IGA" in d_inputs:
-                d_inputs["CP_IGA"] = cp_b
+                d_inputs["CP_IGA"] = d_inputs["CP_IGA"] + cp_b
             if "thickness_IGA" in d_inputs:
-                d_inputs["thickness_IGA"] = h_b
+                d_inputs["thickness_IGA"] = d_inputs["thickness_IGA"] + h_b
             if "displacements" in d_outputs:
-                d_outputs["displacements"] = d_b
+                d_outputs["displacements"] = (
+                    d_outputs["displacements"] + d_b)
 
-    def apply_inverse_jacobian(self, d_outputs, d_residuals, mode):
+    def apply_inverse_jacobian(self, inputs, outputs, d_outputs,
+                               d_residuals, mode):
         if mode == "fwd":
             d_outputs["displacements"] = self.op.solve_linear_fwd(
                 d_residuals["displacements"])
@@ -143,16 +155,20 @@ class DispMintStatesModel(csdl.experimental.CustomImplicitOperation):
         else:
             cp_b, h_b, xi_b, d_b = self.op.apply_linear_rev(
                 d_residuals["displacements"])
+            # accumulate (reference semantics; see DispStatesModel)
             if "CP_IGA" in d_inputs:
-                d_inputs["CP_IGA"] = cp_b
+                d_inputs["CP_IGA"] = d_inputs["CP_IGA"] + cp_b
             if "thickness_IGA" in d_inputs:
-                d_inputs["thickness_IGA"] = h_b
+                d_inputs["thickness_IGA"] = d_inputs["thickness_IGA"] + h_b
             if "int_para_coords" in d_inputs:
-                d_inputs["int_para_coords"] = xi_b
+                d_inputs["int_para_coords"] = (
+                    d_inputs["int_para_coords"] + xi_b)
             if "displacements" in d_outputs:
-                d_outputs["displacements"] = d_b
+                d_outputs["displacements"] = (
+                    d_outputs["displacements"] + d_b)
 
-    def apply_inverse_jacobian(self, d_outputs, d_residuals, mode):
+    def apply_inverse_jacobian(self, inputs, outputs, d_outputs,
+                               d_residuals, mode):
         if mode == "fwd":
             d_outputs["displacements"] = self.op.solve_linear_fwd(
                 d_residuals["displacements"])
@@ -195,12 +211,15 @@ class CPIGA2XiModel(csdl.experimental.CustomImplicitOperation):
         else:
             cp_b, xi_b = self.op.apply_linear_rev(
                 d_residuals["int_para_coords"])
+            # accumulate (reference semantics; see DispStatesModel)
             if "CP_IGA" in d_inputs:
-                d_inputs["CP_IGA"] = cp_b
+                d_inputs["CP_IGA"] = d_inputs["CP_IGA"] + cp_b
             if "int_para_coords" in d_outputs:
-                d_outputs["int_para_coords"] = xi_b
+                d_outputs["int_para_coords"] = (
+                    d_outputs["int_para_coords"] + xi_b)
 
-    def apply_inverse_jacobian(self, d_outputs, d_residuals, mode):
+    def apply_inverse_jacobian(self, inputs, outputs, d_outputs,
+                               d_residuals, mode):
         if mode == "fwd":
             d_outputs["int_para_coords"] = self.op.solve_linear_fwd(
                 d_residuals["int_para_coords"])

@@ -115,17 +115,23 @@ def main():
     force(jvpV)
     print(f"A: jvp matvec ({time.perf_counter() - t0:.1f}s)", flush=True)
 
+    # solve validation at d = 0: K(0) is SPD there (at the random
+    # d_test the SVK tangent can be INDEFINITE — nonconvex energy away
+    # from equilibrium, CLAUDE.md — and Cholesky rightly fails)
+    d_zero = jnp.zeros_like(d_test)
+    r0 = _jit_residual(data, cp, h_const, d_zero)
     if CPU_MODE:
-        x_ref = jnp.linalg.solve(K, (r * data.free).reshape(-1)).reshape(
-            r.shape) * data.free
+        K0 = _jit_assemble_K(data, cp, h_const, d_zero)
+        x_ref = jnp.linalg.solve(
+            K0, (r0 * data.free).reshape(-1)).reshape(r0.shape) * data.free
     else:
         from goldfish_tpu.solver.devicechol import PersistentDeviceFactor
 
         t0 = time.perf_counter()
         fac = PersistentDeviceFactor(data)
-        fac.ensure(cp, h_const, d_test)
-        x_ref = fac.exact_solve(cp, h_const, d_test,
-                                r * data.free) * data.free
+        fac.ensure(cp, h_const, d_zero)
+        x_ref = fac.exact_solve(cp, h_const, d_zero,
+                                r0 * data.free) * data.free
         force(x_ref)
         print(f"A: factor+exact_solve ({time.perf_counter() - t0:.1f}s, "
               f"cert {fac.last_ratio:.2e})", flush=True)

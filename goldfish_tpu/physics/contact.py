@@ -25,12 +25,14 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from goldfish_tpu.geometry.patch_stack import PatchStack
 from goldfish_tpu.physics.kl_shell import surface_fields
 
-__all__ = ["ContactPairs", "build_contact", "contact_energy"]
+__all__ = ["ContactPairs", "build_contact", "contact_energy",
+           "contact_hessians"]
 
 
 class ContactPairs(NamedTuple):
@@ -72,3 +74,34 @@ def contact_energy(contact: ContactPairs | None, stack: PatchStack, d, cp):
     gap = jnp.maximum(contact.r_max[:, None, None] - r, 0.0)
     phi = (contact.k_pen[:, None, None] / 6.0) * gap * gap * gap
     return jnp.sum(phi * wa[:, :, None] * wb[:, None, :])
+
+
+def contact_hessians(contact: ContactPairs, stack: PatchStack, d, cp):
+    """Exact contact stiffness blocks d^2 W_c / dd^2, per pair:
+    (K, 6*C3, 6*C3)... precisely (K, 2*C*3, 2*C*3) over the stacked
+    [patch-A dofs; patch-B dofs] of each contact pair.
+
+    The reference adds the ShNAPr-assembled contact K to the tangent
+    inside `assemble_RFE` (reference: GOLDFISH/nonmatching_opt.py:
+    726-770); here the block is jax.hessian of the pair energy wrt the
+    pair's own dofs. Pairs are unrolled in Python (their count is
+    small and static); each Hessian costs 2*C*3 fwd-over-rev passes of
+    the (cheap) pair energy, and assembly consumers scatter the four
+    quadrants onto the (pa, pb) patch blocks."""
+    C = stack.max_cp
+    blocks = []
+    for k in range(int(contact.pa.shape[0])):
+        sub = ContactPairs(pa=contact.pa[k:k + 1],
+                           pb=contact.pb[k:k + 1],
+                           k_pen=contact.k_pen[k:k + 1],
+                           r_max=contact.r_max[k:k + 1])
+        pa, pb = contact.pa[k], contact.pb[k]
+
+        def pair_energy(z, sub=sub, pa=pa, pb=pb):
+            z = z.reshape(2, C, 3)
+            d_full = d.at[pa].set(z[0]).at[pb].set(z[1])
+            return contact_energy(sub, stack, d_full, cp)
+
+        z0 = jnp.stack([d[pa], d[pb]]).reshape(-1)
+        blocks.append(jax.hessian(pair_energy)(z0))
+    return jnp.stack(blocks)  # (K, 2*C*3, 2*C*3)

@@ -153,6 +153,27 @@ def _assemble_K_scatter(data: SystemData, d, cp, h):
         gii = _interface_global_dofs(data.ifs, C)  # (I, N, 6L)
         K = K.at[gii[..., :, None], gii[..., None, :]].add(Ki)
 
+    if data.contact is not None:
+        from goldfish_tpu.physics.contact import contact_hessians
+
+        C3 = C * 3
+        Hc = contact_hessians(data.contact, stack, d, cp)
+        for k in range(int(data.contact.pa.shape[0])):
+            a0 = data.contact.pa[k] * C3
+            b0 = data.contact.pb[k] * C3
+            K = jax.lax.dynamic_update_slice(
+                K, jax.lax.dynamic_slice(K, (a0, a0), (C3, C3))
+                + Hc[k, :C3, :C3], (a0, a0))
+            K = jax.lax.dynamic_update_slice(
+                K, jax.lax.dynamic_slice(K, (a0, b0), (C3, C3))
+                + Hc[k, :C3, C3:], (a0, b0))
+            K = jax.lax.dynamic_update_slice(
+                K, jax.lax.dynamic_slice(K, (b0, a0), (C3, C3))
+                + Hc[k, C3:, :C3], (b0, a0))
+            K = jax.lax.dynamic_update_slice(
+                K, jax.lax.dynamic_slice(K, (b0, b0), (C3, C3))
+                + Hc[k, C3:, C3:], (b0, b0))
+
     free = data.free.reshape(-1)
     K = K * free[:, None] * free[None, :]
     K = K + jnp.diag(1.0 - free)
@@ -219,6 +240,21 @@ def assemble_K(data: SystemData, d, cp, h):
         K4 = K4.at[data.ifs.pairA, :, data.ifs.pairB, :].add(WAB)
         K4 = K4.at[data.ifs.pairB, :, data.ifs.pairA, :].add(
             jnp.swapaxes(WAB, -1, -2))
+
+    if data.contact is not None:
+        # contact stiffness (round-2 verdict weak #2: the contact term
+        # was in the residual but missing from the assembled tangent,
+        # so dense-direct adjoints with active contact solved the
+        # wrong K)
+        from goldfish_tpu.physics.contact import contact_hessians
+
+        Hc = contact_hessians(data.contact, stack, d, cp)
+        for k in range(int(data.contact.pa.shape[0])):
+            pa, pb = data.contact.pa[k], data.contact.pb[k]
+            K4 = K4.at[pa, :, pa, :].add(Hc[k, :C3, :C3])
+            K4 = K4.at[pa, :, pb, :].add(Hc[k, :C3, C3:])
+            K4 = K4.at[pb, :, pa, :].add(Hc[k, C3:, :C3])
+            K4 = K4.at[pb, :, pb, :].add(Hc[k, C3:, C3:])
     K = K4.reshape(N, N)
 
     free = data.free.reshape(-1)

@@ -85,6 +85,22 @@ def assemble_K_mi(data, mi, co, ss, p, q, d, cp, h, xi):
         [side(connA, mi.pairA), side(connB, mi.pairB)], axis=-1)
     K = K.at[gii[..., :, None], gii[..., None, :]].add(Ki)
 
+    if data.contact is not None:
+        from goldfish_tpu.physics.contact import contact_hessians
+
+        C3 = C * 3
+        Hc = contact_hessians(data.contact, stack, d, cp)
+        for k in range(int(data.contact.pa.shape[0])):
+            a0 = data.contact.pa[k] * C3
+            b0 = data.contact.pb[k] * C3
+            for (r0, c0, blk) in ((a0, a0, Hc[k, :C3, :C3]),
+                                  (a0, b0, Hc[k, :C3, C3:]),
+                                  (b0, a0, Hc[k, C3:, :C3]),
+                                  (b0, b0, Hc[k, C3:, C3:])):
+                K = jax.lax.dynamic_update_slice(
+                    K, jax.lax.dynamic_slice(K, (r0, c0), (C3, C3))
+                    + blk, (r0, c0))
+
     free = data.free.reshape(-1)
     K = K * free[:, None] * free[None, :]
     K = K + jnp.diag(1.0 - free)

@@ -27,6 +27,7 @@ from goldfish_tpu.om_comps.components import (  # noqa: F401
     HthFFDReguComp,
     HthMapComp,
     IntEnergyComp,
+    IntEnergyReguComp,
     IntXiEdgeComp,
     MaxvMStressComp,
     VMStressComp,

@@ -36,13 +36,15 @@ from goldfish_tpu.operations.disp_mi_imop import (
 from goldfish_tpu.operations.exops import (
     ComplianceExOperation,
     IntEnergyExOperation,
+    IntEnergyReguExOperation,
     MaxvMStressExOperation,
     VolumeExOperation,
 )
 
 __all__ = [
     "DispStatesComp", "DispMintStatesComp", "CPIGA2XiComp",
-    "IntXiEdgeComp", "IntEnergyComp", "VolumeComp", "ComplianceComp",
+    "IntXiEdgeComp", "IntEnergyComp", "IntEnergyReguComp",
+    "VolumeComp", "ComplianceComp",
     "MaxvMStressComp", "VMStressComp", "CPFE2IGAComp", "HthFE2IGAComp", "HthFFD2FEComp",
     "HthMapComp", "CPFFD2SurfComp", "CPFFDAlignComp", "CPFFDPinComp",
     "CPFFDReguComp", "HthFFDAlignComp", "HthFFDReguComp",
@@ -307,6 +309,15 @@ class _ObjectiveComp(om.ExplicitComponent):
 class IntEnergyComp(_ObjectiveComp):
     op_cls = IntEnergyExOperation
     default_out = "w_int"
+
+
+class IntEnergyReguComp(_ObjectiveComp):
+    """W_int + CP-smoothness regularization (reference:
+    demos_om/shape_opt/eVTOL/int_energy_regu_comp.py); pass
+    op_kwargs=dict(regu_para=...) to set the penalty weight."""
+
+    op_cls = IntEnergyReguExOperation
+    default_out = "w_int_regu"
 
 
 class VolumeComp(_ObjectiveComp):

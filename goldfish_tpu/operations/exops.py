@@ -20,7 +20,7 @@ from goldfish_tpu.solver.system import NonMatchingSystem
 
 __all__ = ["IntEnergyExOperation", "VolumeExOperation",
            "ComplianceExOperation", "MaxvMStressExOperation",
-           "VMStressExOperation"]
+           "VMStressExOperation", "IntEnergyReguExOperation"]
 
 
 class _ExOpBase:
@@ -75,6 +75,22 @@ class MaxvMStressExOperation(_ExOpBase):
                          objectives.max_vm_stress(data, d, cp, h, rho=rho,
                                                   method=method,
                                                   through=through))
+
+
+class IntEnergyReguExOperation(_ExOpBase):
+    """W_int + per-patch CP-smoothness regularization (the reference
+    eVTOL driver's objective, reference: demos_om/shape_opt/eVTOL/
+    int_energy_regu_exop.py:1-; the regularization reference state is
+    the system's initial control net)."""
+
+    def __init__(self, system, regu_para=1.0, field=2, h_regu=1e-3):
+        import jax.numpy as jnp
+
+        cp_init = jnp.asarray(system.cp)
+        super().__init__(system, lambda data, d, cp, h:
+                         objectives.internal_energy_regu(
+                             data, d, cp, h, cp_init, regu_para,
+                             field=field, h_regu=h_regu))
 
 
 class VMStressExOperation:

@@ -17,7 +17,8 @@ from goldfish_tpu.physics import kl_shell
 from goldfish_tpu.physics.loads import external_work
 from goldfish_tpu.solver.system import SystemData
 
-__all__ = ["internal_energy", "volume", "compliance", "max_vm_stress"]
+__all__ = ["internal_energy", "volume", "compliance", "max_vm_stress",
+           "cp_regu_energy", "internal_energy_regu"]
 
 
 def internal_energy(data: SystemData, d, cp, h):
@@ -35,6 +36,52 @@ def compliance(data: SystemData, d, cp, h):
     operations/compliance_exop.py)."""
     return external_work(data.stack, d, cp, data.f_areal, data.point_loads,
                          data.pressure, data.edge_loads, data.f_field)
+
+
+def cp_regu_energy(data: SystemData, cp, cp_init, regu_para,
+                   field: int = 2, h_regu: float = 1e-3):
+    """Per-patch CP-smoothness regularization energies (P,):
+
+        r_s = kappa_s * int_s |grad(cp_f - cp_f,init)|^2 dA,
+        kappa_s = regu_para * E_s * h_regu^3 / (12 h_a,s (1 - nu_s^2))
+
+    the reference eVTOL driver's regularization term (reference:
+    demos_om/shape_opt/eVTOL/int_energy_regu_exop.py:29-41 —
+    bending-stiffness-scaled penalty on the surface gradient of the
+    optimized CP field's deviation from the initial design; its
+    `ha_phy_linear` per-patch length scale is the mean element size
+    here). Gradient and dA are taken on the INITIAL geometry, so the
+    term is an exact quadratic in cp."""
+    stack = data.stack
+    f = (cp - cp_init)[..., field] * stack.cp_mask        # (P, C)
+    Ff = kl_shell.surface_fields(stack, f[..., None])
+    X = kl_shell.surface_fields(stack, cp_init)
+    A1, A2 = X["du"], X["dv"]
+    a11 = jnp.sum(A1 * A1, -1)
+    a12 = jnp.sum(A1 * A2, -1)
+    a22 = jnp.sum(A2 * A2, -1)
+    det = a11 * a22 - a12 * a12
+    fu = Ff["du"][..., 0]
+    fv = Ff["dv"][..., 0]
+    # |grad f|^2 = f,_alpha a^{alpha beta} f,_beta (padding discipline:
+    # padded qps replicate real geometry with zero weight, so det > 0)
+    grad2 = (a22 * fu * fu - 2.0 * a12 * fu * fv + a11 * fv * fv) / det
+    J = jnp.linalg.norm(jnp.cross(A1, A2), axis=-1)
+    per_patch = jnp.sum(grad2 * J * stack.wq, axis=(-2, -1))  # (P,)
+    _, mean_el_area = _patch_areas(stack, cp_init)
+    ha = jnp.sqrt(jnp.maximum(mean_el_area, 1e-300))
+    kappa = regu_para * data.E * h_regu ** 3 / (12.0 * ha
+                                                * (1.0 - data.nu ** 2))
+    return kappa * per_patch
+
+
+def internal_energy_regu(data: SystemData, d, cp, h, cp_init, regu_para,
+                         field: int = 2, h_regu: float = 1e-3):
+    """W_int + the CP-smoothness regularization (the reference eVTOL
+    objective, demos_om/shape_opt/eVTOL/int_energy_regu_exop.py)."""
+    return internal_energy(data, d, cp, h) + jnp.sum(
+        cp_regu_energy(data, cp, cp_init, regu_para, field=field,
+                       h_regu=h_regu))
 
 
 def _patch_areas(stack: PatchStack, cp):

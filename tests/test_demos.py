@@ -70,3 +70,51 @@ def test_curved_mi_demo_reduced():
 
     res, sys_ = main(num_el=3, p=2, maxiter=3, verbose=False)
     assert res.fun < res.history[0]
+
+
+@pytest.mark.slow
+def test_draft_tube_mi_wffd_demo_reduced():
+    """MI + shape-FFD tube demo (reference flagship counterpart:
+    draft_tube_shape_opt_mi_wffd_4patch.py): the optimizer must round
+    the ovalized pressurized tube back out through the CP -> xi solve,
+    with the pinned support ring held."""
+    import numpy as np
+
+    from demos.draft_tube_shopt_mi_wffd import main
+
+    res, sys_, sh = main(num_el=2, p=2, maxiter=3, verbose=False)
+    assert res.fun < res.history[0]
+    assert np.all(np.isfinite(res.x["p_ffd"]))
+
+
+@pytest.mark.slow
+def test_aeroelastic_wing_demo_reduced():
+    """Fixed-point aeroelastic loop demo: finite coupled equilibrium
+    and a finite coupled-adjoint gradient through it."""
+    import numpy as np
+
+    from demos.aeroelastic_wing import main
+
+    J0, tip, gh, sys_ = main(num_el=2, p=2, n_chord=2, n_span=3,
+                             n_fp=3, verbose=False)
+    assert np.isfinite(J0) and J0 > 0
+    assert float(tip[2]) > 0  # lift bends the wing up
+    assert np.all(np.isfinite(np.asarray(gh)))
+
+
+@pytest.mark.slow
+def test_wing_thickness_opt_demo_reduced(tmp_path):
+    """Flagship wing thickness-opt demo (the bench workload as a
+    driver): objective drops, volume and align constraints hold,
+    checkpoint + vtk outputs written."""
+    import os
+
+    import numpy as np
+
+    from demos.wing_thickness_opt import main
+
+    res, sys_, th = main(num_el=2, p=2, maxiter=3,
+                         results=str(tmp_path), verbose=False)
+    assert res.fun < res.history[0]
+    assert os.path.exists(os.path.join(str(tmp_path), "opt_state.npz"))
+    assert np.all(np.isfinite(res.x["h_ffd"]))

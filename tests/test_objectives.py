@@ -124,3 +124,96 @@ def test_vmstress_field_operation(solved_plate):
           - op.compute(cp_f, h_f, d_f - eps * v)) / (2 * eps)
     an = Ju @ v
     assert np.linalg.norm(an - fd) / np.linalg.norm(fd) < 1e-3
+
+
+def test_cp_regu_energy():
+    """Per-patch CP-smoothness regularization (the reference eVTOL
+    int_energy_regu term): zero at the initial design, positive and
+    growing for wiggly CP perturbations, exact AD gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from goldfish_tpu.models import tbeam
+    from goldfish_tpu.physics.objectives import (
+        cp_regu_energy,
+        internal_energy_regu,
+    )
+
+    sys = tbeam.build(num_el=4, p=3)
+    data = sys.data
+    cp0 = sys.cp
+
+    r0 = cp_regu_energy(data, cp0, cp0, regu_para=1.0)
+    assert float(jnp.sum(jnp.abs(r0))) == 0.0
+
+    # gradient-only penalty: a rigid CP shift costs nothing, a ramp
+    # costs something, and the form is exactly quadratic in amplitude
+    m = sys.metas[0]
+    gv = np.asarray(sys.surfs[0].greville_points(1))
+    ramp = np.tile(gv[None, :], (m.n_u, 1)).ravel()
+    amp = 1e-3
+    cp_shift = cp0.at[0, : m.n_cp, 2].add(amp)
+    cp_r1 = cp0.at[0, : m.n_cp, 2].add(amp * jnp.asarray(ramp))
+    cp_r2 = cp0.at[0, : m.n_cp, 2].add(2 * amp * jnp.asarray(ramp))
+    r_shift = float(jnp.sum(cp_regu_energy(data, cp_shift, cp0, 1.0)))
+    r1 = float(jnp.sum(cp_regu_energy(data, cp_r1, cp0, 1.0)))
+    r2 = float(jnp.sum(cp_regu_energy(data, cp_r2, cp0, 1.0)))
+    assert r_shift < 1e-12 * r1
+    assert r1 > 0
+    assert abs(r2 - 4.0 * r1) / r1 < 1e-10
+    cp_s = cp_r1
+
+    # AD gradient of W_int + regu wrt cp vs central FD
+    d = sys.solve_nonlinear(rtol=1e-10)
+    f = lambda cp: internal_energy_regu(data, d, cp, sys.h_init, cp0,
+                                        regu_para=1e3)
+    g = jax.grad(f)(cp_s)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.normal(size=np.asarray(cp0).shape)
+                    * np.asarray(sys.stack.cp_mask)[..., None])
+    eps = 1e-6
+    fd = (f(cp_s + eps * v) - f(cp_s - eps * v)) / (2 * eps)
+    ad = float(jnp.sum(g * v))
+    assert abs(ad - float(fd)) / abs(float(fd)) < 1e-6
+
+
+def test_int_energy_regu_exop_and_comp():
+    """IntEnergyReguExOperation + the OM comp: value consistency and
+    FD-verified partials through the om(_shim) graph."""
+    import numpy as np
+
+    try:
+        import openmdao.api as om
+    except ModuleNotFoundError:
+        from goldfish_tpu.om_shim import api as om
+
+    from goldfish_tpu.models import tbeam
+    from goldfish_tpu.om_comps.components import IntEnergyReguComp
+
+    sys = tbeam.build(num_el=3, p=2)
+    comp = IntEnergyReguComp(nonmatching_sys=sys,
+                             op_kwargs=dict(regu_para=1e3))
+    comp.init_parameters()
+    model = om.Group()
+    model.add_subsystem("regu", comp)
+    prob = om.Problem(model=model)
+    prob.setup()
+    d = sys.solve_nonlinear(rtol=1e-10)
+    lay = comp.op.layout
+    prob["regu.displacements"] = np.array(
+        lay.to_flat(d), copy=True).ravel()
+    # perturb cp so the regu term is active
+    cp = np.array(lay.to_flat(sys.cp), copy=True)
+    cp[:, 2] += 1e-3 * np.sin(np.linspace(0, 9, cp.shape[0]))
+    prob["regu.CP_IGA"] = cp.ravel()
+    prob.run_model()
+    val = float(prob["regu.w_int_regu"])
+    assert np.isfinite(val) and val > 0
+    report = prob.check_partials(step=1e-7)
+    for comp_name, pairs in report.items():
+        for key, entry in pairs.items():
+            if np.linalg.norm(entry["J_fd"]) < 1e-12:
+                continue
+            assert entry["rel error"] < 5e-5, (comp_name, key,
+                                               entry["rel error"])

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""MI-chain per-iteration hardware bench (round-2 verdict item #6).
+
+Workload: one moving-intersection optimization iteration on the
+T-beam MI system — design step on the web's CP net, implicit CP -> xi
+solve, warm-started MI displacement solve, objective, and the FULL
+adjoint dJ/d(amp) through both implicit solves (the chain of the
+reference's flagship MI demos, e.g.
+/root/reference/demos_om/shape_opt_mint/T-beam/T_beam_2patch_shopt_mi
+.py:495-507, which the reference times with wall-clock prints).
+
+The MI path amortizes ONE on-device f64 factorization across warm
+iterations via PersistentDeviceFactorMI (solver/system_mi.py).
+
+Run twice:
+  GOLDFISH_MI_BENCH_CPU=1 python scripts/bench_mi.py  # CPU baseline
+  python -u scripts/bench_mi.py                       # TPU + JSON
+
+Writes MI_BENCH.json (repo root) in TPU mode.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("GOLDFISH_TPU_X64", "1")
+
+import jax
+
+CPU_MODE = os.environ.get("GOLDFISH_MI_BENCH_CPU") == "1"
+if CPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from goldfish_tpu.config import use_x64
+
+use_x64(True)
+
+REF = "/tmp/bench_mi_cpu.json"
+NUM_EL = 24
+P_DEG = 3
+N_PTS = 17
+
+
+def build():
+    from goldfish_tpu.models import tbeam
+    from goldfish_tpu.physics.coupling import InterfaceSpec
+    from goldfish_tpu.solver.system_mi import MINonMatchingSystem
+
+    w2 = tbeam.WIDTH / 2
+    pts0 = [[-w2, 0, 0], [w2, 0, 0], [-w2, tbeam.LENGTH, 0],
+            [w2, tbeam.LENGTH, 0]]
+    pts1 = [[0, 0, 0], [0, 0, -tbeam.DEPTH], [0, tbeam.LENGTH, 0],
+            [0, tbeam.LENGTH, -tbeam.DEPTH]]
+    srf0 = tbeam.create_surf(pts0, max(NUM_EL // 2, 1), NUM_EL, P_DEG)
+    srf1 = tbeam.create_surf(pts1, max((NUM_EL + 1) // 2, 1),
+                             NUM_EL + 1, P_DEG)
+    specs = [InterfaceSpec(
+        pair=(0, 1),
+        xi_ends_A=np.array([[0.5, 0.0], [0.5, 1.0]]),
+        xi_ends_B=np.array([[0.0, 0.0], [0.0, 1.0]]),
+        n_mortar_el=N_PTS - 1)]
+    sys = MINonMatchingSystem([srf0, srf1], tbeam.E, tbeam.NU,
+                              tbeam.H_TH, specs=specs,
+                              n_pts_list=[N_PTS])
+    sys.add_side_bc(0, direction=1, side=0, n_layers=1)
+    sys.add_side_bc(1, direction=1, side=0, n_layers=1)
+    sys.add_point_load(0, [1.0, 1.0], [0.0, 0.0, 10.0])
+    return sys
+
+
+def force(*xs):
+    return float(sum(jnp.asarray(x).ravel()[0] for x in xs))
+
+
+def main():
+    from goldfish_tpu.physics import kl_shell
+
+    print("backend:", jax.default_backend(), flush=True)
+    sys_ = build()
+    n_dofs = sum(m.n_cp for m in sys_.metas) * 3
+    print(f"MI t-beam: {sys_.num_splines} patches, {n_dofs} dofs",
+          flush=True)
+    forward = sys_.build_forward(rtol=1e-9, max_it=25)
+    d_box = [sys_.zero_displacement()]
+    m = sys_.metas[1]
+    gv = sys_.surfs[1].greville_points(1)
+    bend = jnp.asarray(np.tile(np.sin(np.pi * gv)[None, :],
+                               (m.n_u, 1)).ravel())
+
+    def opt_iteration(amp):
+        cp = sys_.cp.at[1, : m.n_cp, 0].add(amp * bend)
+        d, xi = forward(cp, sys_.h_init, d_box[0])
+        J = kl_shell.internal_energy(sys_.stack, d, cp, sys_.h_init,
+                                     sys_.E, sys_.nu)
+        return J, d
+
+    vg = jax.value_and_grad(opt_iteration, has_aux=True)
+    # compile + cold solve
+    t0 = time.perf_counter()
+    (J, d), g = vg(jnp.asarray(0.05))
+    force(J, d, g)
+    t_cold = time.perf_counter() - t0
+    d_box[0] = d
+
+    times = []
+    for k in range(5):
+        amp = 0.05 * (1.0 + 1e-3 * (k + 1))
+        t0 = time.perf_counter()
+        (J, d), g = vg(jnp.asarray(amp))
+        force(J, d, g)
+        d_box[0] = d
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    t = times[len(times) // 2]
+    print(f"cold {t_cold:.2f}s, warm {t:.3f}s/it "
+          f"(all {[round(x, 3) for x in times]}), J={float(J):.6e}, "
+          f"dJ/damp={float(g):.6e}", flush=True)
+
+    if CPU_MODE:
+        with open(REF, "w") as f:
+            json.dump({"warm_s": t, "J": float(J), "g": float(g)}, f)
+        print("cpu baseline written:", REF, flush=True)
+        return
+
+    cpu = json.load(open(REF)) if os.path.exists(REF) else None
+    out = {
+        "metric": "mi_tbeam_opt_iteration_wall",
+        "value": round(t, 4),
+        "unit": "s",
+        "n_dofs": n_dofs,
+        "backend": jax.default_backend(),
+        "all_times": [round(x, 4) for x in times],
+        "cold_s": round(t_cold, 2),
+    }
+    if cpu:
+        out["cpu_baseline_s"] = round(cpu["warm_s"], 4)
+        out["vs_cpu"] = round(cpu["warm_s"] / t, 2)
+        out["grad_parity_vs_cpu"] = abs(float(g) - cpu["g"]) / abs(cpu["g"])
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "MI_BENCH.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("WROTE", path, json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -141,22 +141,26 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
         return (it < max_it) & (~done) & (rnorm > atol) & (rnorm > rtol * r_ref)
 
     def body(state):
-        d, it, _, _, best, stall = state
+        d, it, rn_prev, _, best, stall = state
         r = residual(data, d, cp, h)
         delta = direction(d, r) * data.free
 
         Pi0 = total_potential(data, d, cp, h)
         slope = jnp.sum(r * delta)  # descent: < 0 for SPD K
         # Predicted decrease below the dtype's energy resolution: the
-        # Armijo test is pure roundoff noise there. Take the plain full
-        # Newton step (quadratic endgame polish) and stop after it.
-        done = jnp.abs(slope) <= 4.0 * eps * jnp.abs(Pi0) + 1e-300
+        # Armijo test is pure roundoff noise there — take the plain
+        # full Newton step (quadratic endgame polish). On STIFF systems
+        # this happens while the residual can still collapse by orders
+        # of magnitude (slope ~ |r|^2/stiffness underflows the energy
+        # resolution long before |r| floors), so "done" additionally
+        # requires the residual to have stopped contracting.
+        slope_tiny = jnp.abs(slope) <= 4.0 * eps * jnp.abs(Pi0) + 1e-300
 
         def ls_cond(s):
             alpha, j = s
             Pi_try = total_potential(data, d + alpha * delta, cp, h)
             ok = Pi_try <= Pi0 + 1e-4 * alpha * slope + 16 * eps * jnp.abs(Pi0)
-            return jnp.logical_not(ok) & (j < 30) & jnp.logical_not(done)
+            return jnp.logical_not(ok) & (j < 30) & jnp.logical_not(slope_tiny)
 
         def ls_body(s):
             return s[0] * 0.5, s[1] + 1
@@ -165,12 +169,17 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
             ls_cond, ls_body, (jnp.asarray(1.0, dtype=d0.dtype), jnp.int32(0)))
         d = d + alpha * delta
         rnew = jnp.linalg.norm(residual(data, d, cp, h))
-        # Energy-stagnation guard: inexact (f32) directions can floor
-        # the residual above rtol while the line search keeps accepting
-        # sub-resolution steps. Energy decrease is monotone under
-        # Armijo, so 3 consecutive below-resolution decreases = floored.
+        res_stalled = rnew > 0.5 * rn_prev
+        done = slope_tiny & res_stalled
+        # Stagnation guard: inexact (f32) directions can floor the
+        # residual above rtol while the line search keeps accepting
+        # sub-resolution steps. Count a stall only when BOTH the energy
+        # decrease is below resolution AND the residual stopped
+        # contracting — energy alone floors early on stiff systems
+        # while Newton is still converging quadratically.
         Pi_new = total_potential(data, d, cp, h)
-        no_progress = Pi_new >= Pi0 - 64 * eps * jnp.abs(Pi0)
+        no_progress = (Pi_new >= Pi0 - 64 * eps * jnp.abs(Pi0)) \
+            & res_stalled
         stall = jnp.where(no_progress, stall + 1, jnp.int32(0))
         best = jnp.minimum(best, rnew)
         done = done | (stall >= 3)
@@ -271,11 +280,14 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
             blocks = _jit_blocks(data, cp, h, d)
             delta = _jit_block_solve(data, blocks, -r) * data.free
         slope = float(jnp.sum(r * delta))
-        done_slope = abs(slope) <= 4.0 * eps * abs(Pi0) + 1e-300
+        # see newton_solve: slope underflows the energy resolution on
+        # stiff systems while |r| is still contracting — "done" also
+        # requires residual stagnation
+        slope_tiny = abs(slope) <= 4.0 * eps * abs(Pi0) + 1e-300
 
         alpha = 1.0
         ls_fail = False
-        if not done_slope:
+        if not slope_tiny:
             for k_ls in range(30):
                 Pi_try = float(_jit_potential(data, cp, h,
                                               d + alpha * delta))
@@ -304,14 +316,16 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
         it += 1
         if verbose:
             print(f"  newton(host) it {it}: |r|={rn:.3e} alpha={alpha:g}")
+        res_stalled = rn > 0.5 * rn_prev
         # slow linear contraction = the frozen tangent is too stale
         # (thin-shell K changes O(1) under small d-drifts): refresh it
         # rather than crawling — exact Newton converges quadratically
         if device_direct and rn > 0.25 * rn_prev and rn > rtol * r_ref:
             force_refactor = True
-        if done_slope:
+        if slope_tiny and res_stalled:
             break
-        if Pi_new >= Pi0 - 64 * eps * abs(Pi0):
+        # stall only when BOTH energy and residual stopped improving
+        if (Pi_new >= Pi0 - 64 * eps * abs(Pi0)) and res_stalled:
             stall += 1
             if stall >= 3:
                 break

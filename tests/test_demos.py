@@ -118,3 +118,36 @@ def test_wing_thickness_opt_demo_reduced(tmp_path):
     assert res.fun < res.history[0]
     assert os.path.exists(os.path.join(str(tmp_path), "opt_state.npz"))
     assert np.all(np.isfinite(res.x["h_ffd"]))
+
+
+@pytest.mark.slow
+def test_evtol_mi_demo_full_chain_parity():
+    """eVTOL-class moving-seam demo (round-2 verdict item #3):
+    d(w_int)/d(spar/rib design) through the OM graph — custom align
+    comp -> implicit CP->xi -> implicit MI displacement solve — vs FD.
+    Uses the thicker-shell configuration (cond control: at 4 mm the
+    KL-shell+penalty conditioning floors the FD reference itself near
+    1e-5)."""
+    from demos.evtol_wing_shopt_mi import build_problem
+
+    prob, sys_ = build_problem(num_el=3, p=2, maxiter=2, h_th=0.02)
+    prob.run_model()
+    rep = prob.check_totals(of=["int_energy_comp.w_int"],
+                            wrt=["inputs_comp.spar_rib_design"],
+                            step=1e-6)
+    for key, entry in rep.items():
+        assert entry["rel error"] < 1e-5, (key, entry["rel error"])
+
+
+@pytest.mark.slow
+def test_evtol_mi_demo_converges():
+    """Moving spar/rib seams: SLSQP converges (objective drops, seams
+    track the design, xi edge invariant holds)."""
+    import numpy as np
+
+    from demos.evtol_wing_shopt_mi import main
+
+    prob, sys_, J0, J1 = main(num_el=3, p=2, maxiter=8, verbose=False)
+    assert J1 < 0.75 * J0          # large physical improvement
+    x = np.asarray(prob["inputs_comp.spar_rib_design"])
+    assert abs(x[0] - 0.30) > 0.05  # the spar actually moved

@@ -405,7 +405,11 @@ class Problem:
         gives d_residuals = (dR/du)^-T d_outputs; the TOTAL derivative
         chain through the solve is d_in = -(dR/din)^T (dR/du)^-T bar.
         """
-        d_outputs = _Bag({out_name: bar_row.copy()})
+        # OpenMDAO passes ALL of the comp's output vars in d_outputs
+        # (zeros where unseeded), not just the seeded one
+        d_outputs = _Bag({v: (bar_row.copy() if v == out_name
+                              else np.zeros_like(comp._outputs[v]))
+                          for v in comp._outputs})
         d_residuals = _Bag({v: np.zeros_like(comp._outputs[v])
                             for v in comp._outputs})
         comp.solve_linear(d_outputs, d_residuals, "rev")

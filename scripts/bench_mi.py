@@ -40,7 +40,7 @@ from goldfish_tpu.config import use_x64
 use_x64(True)
 
 REF = "/tmp/bench_mi_cpu.json"
-NUM_EL = 24
+NUM_EL = 40
 P_DEG = 3
 N_PTS = 17
 
@@ -77,42 +77,83 @@ def force(*xs):
 
 
 def main():
+    from goldfish_tpu.geometry.cpiga2xi import _c2x_adjoint
     from goldfish_tpu.physics import kl_shell
+    from goldfish_tpu.solver.linalg import mode as _mode
+    from goldfish_tpu.solver.system_mi import (
+        PersistentDeviceFactorMI,
+        adjoint_solve_mi,
+        newton_solve_mi,
+        newton_solve_mi_host,
+    )
 
     print("backend:", jax.default_backend(), flush=True)
     sys_ = build()
     n_dofs = sum(m.n_cp for m in sys_.metas) * 3
     print(f"MI t-beam: {sys_.num_splines} patches, {n_dofs} dofs",
           flush=True)
-    forward = sys_.build_forward(rtol=1e-9, max_it=25)
-    d_box = [sys_.zero_displacement()]
+    data, mi, co, ss = sys_.data, sys_.mi, sys_.co, sys_.ss
+    pdeg, qdeg = sys_.pdeg, sys_.qdeg
+    c2x = sys_.c2x
+    h = sys_.h_init
     m = sys_.metas[1]
     gv = sys_.surfs[1].greville_points(1)
     bend = jnp.asarray(np.tile(np.sin(np.pi * gv)[None, :],
                                (m.n_u, 1)).ravel())
 
-    def opt_iteration(amp):
-        cp = sys_.cp.at[1, : m.n_cp, 0].add(amp * bend)
-        d, xi = forward(cp, sys_.h_init, d_box[0])
-        J = kl_shell.internal_energy(sys_.stack, d, cp, sys_.h_init,
-                                     sys_.E, sys_.nu)
-        return J, d
+    # The PRODUCTION adjoint pipeline, composed from jitted kernels
+    # (args-only; no outer jit — axon f64 closure hazard): the
+    # jax.grad-over-eager-chain variant is algorithmically identical
+    # but pays ~27 ms tunnel latency for every one of the hundreds of
+    # small transpose dispatches in the eager backward sweep (+7 s/it
+    # measured; scripts/profile_mi.py has the stage budget).
+    mixed = _mode() == "mixed"
+    fac = PersistentDeviceFactorMI(data, mi, co, ss, pdeg, qdeg) \
+        if mixed else None
+    energy_vg = jax.jit(jax.value_and_grad(
+        kl_shell.internal_energy, argnums=(1, 2)))
 
-    vg = jax.value_and_grad(opt_iteration, has_aux=True)
+    @jax.jit
+    def make_cp(amp):
+        return sys_.cp.at[1, : m.n_cp, 0].add(amp * bend)
+
+    @jax.jit
+    def chain_amp(g_cp_total):
+        return jnp.sum(g_cp_total[1, : m.n_cp, 0] * bend)
+
+    def opt_iteration(amp, d0, xi0):
+        cp = make_cp(amp)
+        xi = c2x.solve(cp, xi0)
+        if mixed:
+            d, _, _ = newton_solve_mi_host(
+                data, mi, co, ss, pdeg, qdeg, cp, h, xi, d0,
+                rtol=1e-9, device_fac=fac)
+        else:
+            d, _, _ = newton_solve_mi(data, mi, co, ss, pdeg, qdeg,
+                                      cp, h, xi, d0, rtol=1e-9)
+        J, (g_d, g_cp) = energy_vg(sys_.stack, d, cp, h, sys_.E,
+                                   sys_.nu)
+        dcp_a, _, dxi_a = adjoint_solve_mi(
+            data, mi, co, ss, pdeg, qdeg, d, cp, h, xi, g_d,
+            device_fac=fac)
+        dcp_xi = _c2x_adjoint(c2x.ss, c2x.mi, cp, xi, dxi_a,
+                              p=c2x.p, q=c2x.q)
+        g_amp = chain_amp(g_cp + dcp_a + dcp_xi)
+        return J, d, xi, g_amp
+
     # compile + cold solve
     t0 = time.perf_counter()
-    (J, d), g = vg(jnp.asarray(0.05))
+    J, d, xi, g = opt_iteration(jnp.asarray(0.05),
+                                sys_.zero_displacement(), None)
     force(J, d, g)
     t_cold = time.perf_counter() - t0
-    d_box[0] = d
 
     times = []
     for k in range(5):
         amp = 0.05 * (1.0 + 1e-3 * (k + 1))
         t0 = time.perf_counter()
-        (J, d), g = vg(jnp.asarray(amp))
+        J, d, xi, g = opt_iteration(jnp.asarray(amp), d, xi)
         force(J, d, g)
-        d_box[0] = d
         times.append(time.perf_counter() - t0)
     times.sort()
     t = times[len(times) // 2]

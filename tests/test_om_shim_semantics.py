@@ -1,0 +1,291 @@
+"""Adversarial om_shim semantics pins (round-2 verdict weak #4).
+
+The executed-adapter claim rests on om_shim implementing OpenMDAO's
+documented conventions, not merely being self-consistent with the
+comps it runs. Each test here drives the shim with HAND-COMPUTED
+graphs whose totals/optima are known analytically, pinned to the
+OpenMDAO behaviors the reference relies on:
+
+- implicit total-derivative convention du/dx = -(dR/du)^{-1} dR/dx
+  through solve_linear(rev) + apply_linear(rev)
+  (reference: GOLDFISH/om_comps/disp_states_comp.py:81-144);
+- rev-mode ACCUMULATION of d_inputs across residual variables and of
+  bars across fan-out connections (the reference op layer's `+=`,
+  GOLDFISH/operations/disp_imop.py:115-127);
+- driver scaler conventions: scaler multiplies the DRIVER'S view of a
+  variable (x_driver = scaler * x_phys, bounds scaled identically),
+  and the physical optimum is invariant under any scaler choice;
+- compute_totals/check_totals return UNSCALED model-variable
+  derivatives (driver scaling never leaks in).
+
+If openmdao itself is installed the same tests run against it, making
+the suite a conformance check in both directions.
+"""
+
+import numpy as np
+import pytest
+
+try:
+    import openmdao.api as om
+except ModuleNotFoundError:
+    from goldfish_tpu.om_shim import api as om
+
+
+class _ImplicitScale(om.ImplicitComponent):
+    """R(u; a, b) = 3u - a - 2b  ->  u = (a + 2b)/3."""
+
+    def setup(self):
+        self.add_input("a", shape=2)
+        self.add_input("b", shape=2)
+        self.add_output("u", shape=2)
+
+    def apply_nonlinear(self, inputs, outputs, residuals):
+        residuals["u"] = 3 * outputs["u"] - inputs["a"] - 2 * inputs["b"]
+
+    def solve_nonlinear(self, inputs, outputs):
+        outputs["u"] = (inputs["a"] + 2 * inputs["b"]) / 3.0
+
+    def linearize(self, inputs, outputs, partials):
+        pass
+
+    def apply_linear(self, inputs, outputs, d_inputs, d_outputs,
+                     d_residuals, mode):
+        if mode == "rev":
+            rb = d_residuals["u"]
+            if "a" in d_inputs:
+                d_inputs["a"] += -rb
+            if "b" in d_inputs:
+                d_inputs["b"] += -2.0 * rb
+            if "u" in d_outputs:
+                d_outputs["u"] += 3.0 * rb
+        else:
+            r = np.zeros_like(outputs["u"])
+            if "u" in d_outputs:
+                r += 3.0 * d_outputs["u"]
+            if "a" in d_inputs:
+                r += -d_inputs["a"]
+            if "b" in d_inputs:
+                r += -2.0 * d_inputs["b"]
+            d_residuals["u"] += r
+
+    def solve_linear(self, d_outputs, d_residuals, mode):
+        if mode == "rev":
+            d_residuals["u"] = d_outputs["u"] / 3.0
+        else:
+            d_outputs["u"] = d_residuals["u"] / 3.0
+
+
+class _Square(om.ExplicitComponent):
+    """y = x^2."""
+
+    def setup(self):
+        self.add_input("x", shape=2)
+        self.add_output("y", shape=2)
+        self.declare_partials("y", "x")
+
+    def compute(self, inputs, outputs):
+        outputs["y"] = inputs["x"] ** 2
+
+    def compute_partials(self, inputs, partials):
+        partials["y", "x"] = np.diag(2.0 * inputs["x"])
+
+
+def _diamond_problem(x0=(1.5, -2.0)):
+    """x -> y = x^2; u solves 3u - x - 2y = 0: the input reaches the
+    implicit comp along TWO paths, so totals are only right if bars
+    accumulate. du/dx = (1 + 4x)/3 diag."""
+    model = om.Group()
+    ivc = om.IndepVarComp()
+    ivc.add_output("x", val=np.asarray(x0))
+    model.add_subsystem("ivc", ivc)
+    model.add_subsystem("sq", _Square())
+    model.add_subsystem("imp", _ImplicitScale())
+    model.connect("ivc.x", "sq.x")
+    model.connect("ivc.x", "imp.a")
+    model.connect("sq.y", "imp.b")
+    prob = om.Problem(model=model)
+    prob.setup()
+    prob.run_model()
+    return prob
+
+
+def test_implicit_diamond_totals_exact():
+    prob = _diamond_problem()
+    x = np.asarray(prob["ivc.x"])
+    # forward value: u = (x + 2x^2)/3
+    assert np.allclose(np.asarray(prob["imp.u"]),
+                       (x + 2 * x ** 2) / 3.0, atol=1e-14)
+    totals = prob.compute_totals(of=["imp.u"], wrt=["ivc.x"])
+    J = np.asarray(totals[("imp.u", "ivc.x")])
+    want = np.diag((1.0 + 4.0 * x) / 3.0)
+    assert np.allclose(J, want, atol=1e-12), (J, want)
+
+
+class _TwoResidual(om.ImplicitComponent):
+    """Coupled pair sharing one input:
+       R1 = 2u - v - a ;  R2 = -u + 2v - 3a
+       -> u = (2a + 3a)/3 = 5a/3... solve: [2,-1;-1,2][u,v] = [a,3a]
+       u = (2a + 3a)/3 = 5a/3? inverse = 1/3[[2,1],[1,2]]:
+       u = (2a + 3a)/3 = 5a/3, v = (a + 6a)/3 = 7a/3."""
+
+    def setup(self):
+        self.add_input("a", shape=1)
+        self.add_output("u", shape=1)
+        self.add_output("v", shape=1)
+
+    def apply_nonlinear(self, inputs, outputs, residuals):
+        residuals["u"] = 2 * outputs["u"] - outputs["v"] - inputs["a"]
+        residuals["v"] = -outputs["u"] + 2 * outputs["v"] - 3 * inputs["a"]
+
+    def solve_nonlinear(self, inputs, outputs):
+        a = inputs["a"]
+        outputs["u"] = 5.0 * a / 3.0
+        outputs["v"] = 7.0 * a / 3.0
+
+    def linearize(self, inputs, outputs, partials):
+        pass
+
+    def apply_linear(self, inputs, outputs, d_inputs, d_outputs,
+                     d_residuals, mode):
+        if mode == "rev":
+            # BOTH residual vars push into the SAME input: must +=
+            if "a" in d_inputs:
+                d_inputs["a"] += -d_residuals["u"]
+                d_inputs["a"] += -3.0 * d_residuals["v"]
+            if "u" in d_outputs:
+                d_outputs["u"] += 2 * d_residuals["u"] - d_residuals["v"]
+            if "v" in d_outputs:
+                d_outputs["v"] += -d_residuals["u"] + 2 * d_residuals["v"]
+        else:
+            du = d_outputs.get("u", 0.0)
+            dv = d_outputs.get("v", 0.0)
+            da = d_inputs.get("a", 0.0)
+            d_residuals["u"] += 2 * du - dv - da
+            d_residuals["v"] += -du + 2 * dv - 3 * da
+
+    def solve_linear(self, d_outputs, d_residuals, mode):
+        A = np.array([[2.0, -1.0], [-1.0, 2.0]])
+        if mode == "rev":
+            rhs = np.array([float(d_outputs["u"]),
+                            float(d_outputs["v"])])
+            psi = np.linalg.solve(A.T, rhs)
+            d_residuals["u"] = np.array([psi[0]])
+            d_residuals["v"] = np.array([psi[1]])
+        else:
+            rhs = np.array([float(d_residuals["u"]),
+                            float(d_residuals["v"])])
+            s = np.linalg.solve(A, rhs)
+            d_outputs["u"] = np.array([s[0]])
+            d_outputs["v"] = np.array([s[1]])
+
+
+def test_multi_residual_accumulation():
+    """du/da = 5/3, dv/da = 7/3 — wrong if d_inputs contributions from
+    the two residual variables overwrite instead of accumulating."""
+    model = om.Group()
+    ivc = om.IndepVarComp()
+    ivc.add_output("a", val=np.array([2.0]))
+    model.add_subsystem("ivc", ivc)
+    model.add_subsystem("imp", _TwoResidual())
+    model.connect("ivc.a", "imp.a")
+    prob = om.Problem(model=model)
+    prob.setup()
+    prob.run_model()
+    totals = prob.compute_totals(of=["imp.u", "imp.v"], wrt=["ivc.a"])
+    assert np.allclose(totals[("imp.u", "ivc.a")], 5.0 / 3.0, atol=1e-13)
+    assert np.allclose(totals[("imp.v", "ivc.a")], 7.0 / 3.0, atol=1e-13)
+
+
+def test_totals_are_unscaled_by_driver_declarations():
+    """OpenMDAO: compute_totals/check_totals report MODEL derivatives;
+    design-var/objective scalers affect only the driver's view."""
+    prob = _diamond_problem()
+    prob.model.add_design_var("ivc.x", scaler=37.0)
+    prob.model.add_objective("imp.u", scaler=11.0)
+    x = np.asarray(prob["ivc.x"])
+    totals = prob.compute_totals(of=["imp.u"], wrt=["ivc.x"])
+    J = np.asarray(totals[("imp.u", "ivc.x")])
+    want = np.diag((1.0 + 4.0 * x) / 3.0)   # unscaled, same as before
+    assert np.allclose(J, want, atol=1e-12)
+
+
+class _Quad(om.ExplicitComponent):
+    """f = (x0 - 1)^2 + (x1 - 2.5)^2 ; g = x0 - 2 x1 (for eq cons)."""
+
+    def setup(self):
+        self.add_input("x", shape=2)
+        self.add_output("f")
+        self.add_output("g")
+        self.declare_partials("f", "x")
+        self.declare_partials("g", "x")
+
+    def compute(self, inputs, outputs):
+        x = inputs["x"]
+        outputs["f"] = (x[0] - 1) ** 2 + (x[1] - 2.5) ** 2
+        outputs["g"] = x[0] - 2 * x[1]
+
+    def compute_partials(self, inputs, partials):
+        x = inputs["x"]
+        partials["f", "x"] = np.array([[2 * (x[0] - 1),
+                                        2 * (x[1] - 2.5)]])
+        partials["g", "x"] = np.array([[1.0, -2.0]])
+
+
+@pytest.mark.parametrize("dv_scaler,obj_scaler,con_scaler",
+                         [(1.0, 1.0, 1.0), (100.0, 1e-2, 7.0),
+                          (0.03, 50.0, 0.2)])
+def test_driver_scaler_invariance(dv_scaler, obj_scaler, con_scaler):
+    """Known constrained optimum (x* = [1.8, 0.9]: minimize
+    (x0-1)^2 + (x1-2.5)^2 s.t. x0 = 2 x1 — substitute to get
+    10 x1 = 9): the PHYSICAL optimum must not depend on the declared
+    scalers (OM semantics: driver-view scaling only)."""
+    model = om.Group()
+    ivc = om.IndepVarComp()
+    ivc.add_output("x", val=np.array([2.0, 0.0]))
+    model.add_subsystem("ivc", ivc)
+    model.add_subsystem("quad", _Quad())
+    model.connect("ivc.x", "quad.x")
+    model.add_design_var("ivc.x", lower=0.0, upper=10.0,
+                         scaler=dv_scaler)
+    model.add_objective("quad.f", scaler=obj_scaler)
+    model.add_constraint("quad.g", equals=0.0, scaler=con_scaler)
+    prob = om.Problem(model=model)
+    prob.driver = om.ScipyOptimizeDriver()
+    prob.driver.options["optimizer"] = "SLSQP"
+    prob.driver.options["tol"] = 1e-10
+    prob.driver.options["disp"] = False
+    prob.setup()
+    prob.run_model()
+    prob.run_driver()
+    x = np.asarray(prob["ivc.x"])
+    assert np.allclose(x, [1.8, 0.9], atol=1e-4), x
+
+
+def test_check_partials_catches_wrong_partial():
+    """check_partials must actually flag an intentionally wrong
+    Jacobian (guards against a vacuously-green verifier)."""
+
+    class Bad(om.ExplicitComponent):
+        def setup(self):
+            self.add_input("x", shape=2)
+            self.add_output("y", shape=2)
+            self.declare_partials("y", "x")
+
+        def compute(self, inputs, outputs):
+            outputs["y"] = 3.0 * inputs["x"]
+
+        def compute_partials(self, inputs, partials):
+            partials["y", "x"] = 2.0 * np.eye(2)   # WRONG (should be 3)
+
+    model = om.Group()
+    ivc = om.IndepVarComp()
+    ivc.add_output("x", val=np.array([1.0, 2.0]))
+    model.add_subsystem("ivc", ivc)
+    model.add_subsystem("bad", Bad())
+    model.connect("ivc.x", "bad.x")
+    prob = om.Problem(model=model)
+    prob.setup()
+    prob.run_model()
+    report = prob.check_partials(compact_print=False, step=1e-7)
+    entry = report["bad"][("y", "x")]
+    assert entry["rel error"] > 0.2, entry

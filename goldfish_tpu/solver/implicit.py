@@ -266,12 +266,19 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     stall = 0
     it = 0
     refactored_on_stall = False
-    force_refactor = False
+    use_ir = False
     while (it < max_it and rn > atol and rn > rtol * r_ref):
         if device_direct:
-            device_fac.ensure(cp, h, d, force=force_refactor)
-            force_refactor = False
-            delta = device_fac.direction(-r) * data.free
+            if use_ir:
+                # exact Newton via the fused jvp-IR solve against the
+                # (possibly stale) factor: replaces the refactor-on-
+                # slow-contraction heuristic — one IR direction costs
+                # ~1/3 of an assemble+factor and converges
+                # quadratically (see newton_solve_mi_host)
+                delta = device_fac.exact_solve(cp, h, d, -r) * data.free
+            else:
+                device_fac.ensure(cp, h, d)
+                delta = device_fac.direction(-r) * data.free
         elif host_direct:
             blocks = _jit_blocks(data, cp, h, d)
             # host f64 LU fallback (amortized via exact-residual IR)
@@ -318,10 +325,10 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
             print(f"  newton(host) it {it}: |r|={rn:.3e} alpha={alpha:g}")
         res_stalled = rn > 0.5 * rn_prev
         # slow linear contraction = the frozen tangent is too stale
-        # (thin-shell K changes O(1) under small d-drifts): refresh it
-        # rather than crawling — exact Newton converges quadratically
+        # (thin-shell K changes O(1) under small d-drifts): switch to
+        # exact jvp-IR directions rather than crawling or refactoring
         if device_direct and rn > 0.25 * rn_prev and rn > rtol * r_ref:
-            force_refactor = True
+            use_ir = True
         if slope_tiny and res_stalled:
             break
         # stall only when BOTH energy and residual stopped improving

@@ -182,6 +182,16 @@ def _jit_potential_mi(data, mi, co, ss, p, q, cp, h, xi, d):
 
 
 @partial(jax.jit, static_argnames=("p", "q"))
+def _jit_res_pot_mi(data, mi, co, ss, p, q, cp, h, xi, d):
+    """residual + |r| + potential in ONE program (saves ~2 tunnel
+    roundtrips per Newton iteration on axon; mirror of
+    implicit._jit_res_pot)."""
+    r = residual_mi(data, mi, co, ss, p, q, d, cp, h, xi)
+    return r, jnp.linalg.norm(r), total_potential_mi(
+        data, mi, co, ss, p, q, d, cp, h, xi)
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
 def _jit_K_mi(data, mi, co, ss, p, q, cp, h, xi, d):
     return assemble_K_mi(data, mi, co, ss, p, q, d, cp, h, xi)
 
@@ -308,8 +318,9 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     r0v = _jit_residual_mi(data, mi, co, ss, p, q, cp, h, xi,
                            jnp.zeros_like(d0))
     r_ref = float(jnp.linalg.norm(r0v))
-    r = _jit_residual_mi(data, mi, co, ss, p, q, cp, h, xi, d0)
-    rn = float(jnp.linalg.norm(r))
+    r, rn_, Pi_ = _jit_res_pot_mi(data, mi, co, ss, p, q, cp, h, xi, d0)
+    rn = float(rn_)
+    Pi0 = float(Pi_)
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
     eps = float(jnp.finfo(d0.dtype).eps)
 
@@ -320,12 +331,24 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     stall = 0
     it = 0
     refactored_on_stall = False
-    force_refactor = False
+    # MI directions are IR-EXACT by default: the moving-seam penalty
+    # terms make substitution-only directions from a design-stale
+    # factor frequently non-descent, and each failed line search burns
+    # ~30 potential-eval dispatches (~3 s on axon) before the old
+    # policy refactored (~1.5 s more). One fused jvp-IR direction
+    # (~0.6 s) is the exact Newton direction at the current state —
+    # quadratic convergence, alpha = 1 accepted, no refactor (the IR
+    # certificate self-refactors only when the factor is truly too
+    # stale to precondition).
+    device_fac.ensure(cp, h, xi, d)
     while (it < max_it and rn > atol and rn > rtol * r_ref):
-        device_fac.ensure(cp, h, xi, d, force=force_refactor)
-        force_refactor = False
-        delta = device_fac.direction(-r) * data.free
-        Pi0 = float(_jit_potential_mi(data, mi, co, ss, p, q, cp, h, xi, d))
+        # direction tolerance 1e-3 (inexact-Newton forcing): with 3 IR
+        # sweeps the certificate is ratio ~ rho^3, so a mildly stale
+        # factor (rho ~ 0.1) passes at 1e-3 but refactors at the
+        # adjoint-grade 1e-6 — directions don't need that, the line
+        # search and the next residual measure actual progress
+        delta = device_fac.exact_solve(cp, h, xi, d, -r,
+                                       tol=1e-3) * data.free
         slope = float(jnp.sum(r * delta))
         # see solver/implicit.newton_solve_host: "done" also requires
         # residual stagnation, not just a sub-resolution slope
@@ -349,16 +372,14 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
             refactored_on_stall = False  # re-arm (see implicit.py)
         rn_prev = rn
         d = d + alpha * delta
-        r = _jit_residual_mi(data, mi, co, ss, p, q, cp, h, xi, d)
-        rn = float(jnp.linalg.norm(r))
-        Pi_new = float(_jit_potential_mi(data, mi, co, ss, p, q, cp, h,
-                                         xi, d))
+        r, rn_, Pi_new_ = _jit_res_pot_mi(data, mi, co, ss, p, q, cp, h,
+                                          xi, d)
+        rn = float(rn_)
+        Pi_new = float(Pi_new_)
         it += 1
         if verbose:
             print(f"  newton(mi,host) it {it}: |r|={rn:.3e} alpha={alpha:g}")
         res_stalled = rn > 0.5 * rn_prev
-        if rn > 0.25 * rn_prev and rn > rtol * r_ref:
-            force_refactor = True
         if slope_tiny and res_stalled:
             break
         if (Pi_new >= Pi0 - 64 * eps * abs(Pi0)) and res_stalled:
@@ -367,6 +388,7 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
                 break
         else:
             stall = 0
+        Pi0 = Pi_new
     return d, it, rn
 
 

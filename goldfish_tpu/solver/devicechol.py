@@ -222,7 +222,8 @@ class PersistentDeviceFactor:
         (warning + `nonconverged` flag) rather than silently
         propagating an inaccurate solve into adjoint gradients."""
         n_ir = self.n_ir if n_ir is None else n_ir
-        for attempt in range(3):
+        refactored = False
+        for attempt in range(4):
             x, ratio = _jvp_ir_solve(self.data, self.dc._L,
                                      self.dc._invs, self.dc._dscale,
                                      cp, h, d, b, nb=self.dc.nb,
@@ -230,10 +231,18 @@ class PersistentDeviceFactor:
             self.last_ratio = float(ratio)
             if self.last_ratio <= tol:
                 return x
-            if attempt == 0:
+            # ratio ~ rho^n_ir: estimate the per-sweep contraction to
+            # decide between MORE SWEEPS (one extra solve) and a
+            # REFACTOR (~3x a solve: assemble + blocked factor).  A
+            # marginal certificate miss (rho small) just needs sweeps;
+            # only a genuinely stale factor (rho > ~0.2) or a failed
+            # doubled-sweep attempt justifies refactoring.
+            rho = self.last_ratio ** (1.0 / n_ir)
+            if not refactored and (rho > 0.2 or attempt >= 2):
                 self.ensure(cp, h, d, force=True)
+                refactored = True
             else:
-                n_ir = 2 * n_ir  # fresh factor: just sweep more
+                n_ir = 2 * n_ir
         self.nonconverged = True
         import warnings
 

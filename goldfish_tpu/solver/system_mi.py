@@ -235,6 +235,42 @@ def _jvp_ir_solve_mi(data, mi, co, ss, L, invs, dscale, cp, h, xi, d, b,
     return x, last_dx / (jnp.linalg.norm(x) + 1e-300)
 
 
+@partial(jax.jit, static_argnames=("p", "q", "nb", "n_ir"))
+def _jit_dir_mi(data, mi, co, ss, L, invs, dscale, cp, h, xi, d, r,
+                *, p, q, nb, n_ir):
+    """Newton direction for r: jvp-IR solve + certificate + Armijo
+    slope in ONE program (one tunnel roundtrip on axon instead of
+    three: solve, mask, slope)."""
+    x, ratio = _jvp_ir_solve_mi.__wrapped__(
+        data, mi, co, ss, L, invs, dscale, cp, h, xi, d, -r,
+        p=p, q=q, nb=nb, n_ir=n_ir)
+    delta = x * data.free
+    return delta, ratio, jnp.sum(r * delta)
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
+def _jit_trial_mi(data, mi, co, ss, p, q, cp, h, xi, d, delta, alpha):
+    """Line-search trial state in ONE program: d_try, its residual,
+    |r|, and potential. When the trial is accepted (the common warm
+    case: exact direction, alpha=1) these ARE the next iteration's
+    state — no separate res/pot dispatch."""
+    d_new = d + alpha * delta
+    r = residual_mi(data, mi, co, ss, p, q, d_new, cp, h, xi)
+    return d_new, r, jnp.linalg.norm(r), total_potential_mi(
+        data, mi, co, ss, p, q, d_new, cp, h, xi)
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
+def _jit_entry_mi(data, mi, co, ss, p, q, cp, h, xi, d0):
+    """Newton entry in ONE program: load-scale |r(0)| (the convergence
+    reference, CLAUDE.md), r(d0), |r(d0)|, Pi(d0)."""
+    r0 = residual_mi(data, mi, co, ss, p, q, jnp.zeros_like(d0), cp, h,
+                     xi)
+    r = residual_mi(data, mi, co, ss, p, q, d0, cp, h, xi)
+    return jnp.linalg.norm(r0), r, jnp.linalg.norm(r), \
+        total_potential_mi(data, mi, co, ss, p, q, d0, cp, h, xi)
+
+
 class PersistentDeviceFactorMI:
     """MI counterpart of devicechol.PersistentDeviceFactor: one
     amortized on-device f64 factorization of the MI tangent, inexact
@@ -280,10 +316,36 @@ class PersistentDeviceFactorMI:
     def direction(self, r):
         return self.dc.solve(r)
 
+    def newton_direction(self, cp, h, xi, d, r, tol=1e-3):
+        """Fused IR-exact Newton direction with the same ratio-aware
+        certificate policy as exact_solve; returns (delta, slope).
+        tol=1e-3 is inexact-Newton forcing — the line search and the
+        next residual measure actual progress, only adjoints need the
+        1e-6 grade."""
+        data, mi, co, ss = self.args
+        n_ir = self.n_ir
+        refactored = False
+        for attempt in range(4):
+            delta, ratio, slope = _jit_dir_mi(
+                data, mi, co, ss, self.dc._L, self.dc._invs,
+                self.dc._dscale, cp, h, xi, d, r, p=self.p, q=self.q,
+                nb=self.dc.nb, n_ir=n_ir)
+            self.last_ratio = float(ratio)
+            if self.last_ratio <= tol:
+                break
+            rho = self.last_ratio ** (1.0 / n_ir)
+            if not refactored and (rho > 0.2 or attempt >= 2):
+                self.ensure(cp, h, xi, d, force=True)
+                refactored = True
+            else:
+                n_ir = 2 * n_ir
+        return delta, float(slope)
+
     def exact_solve(self, cp, h, xi, d, b, n_ir=None, tol=1e-6):
         data, mi, co, ss = self.args
         n_ir = self.n_ir if n_ir is None else n_ir
-        for attempt in range(3):
+        refactored = False
+        for attempt in range(4):
             x, ratio = _jvp_ir_solve_mi(
                 data, mi, co, ss, self.dc._L, self.dc._invs,
                 self.dc._dscale, cp, h, xi, d, b, p=self.p, q=self.q,
@@ -291,8 +353,13 @@ class PersistentDeviceFactorMI:
             self.last_ratio = float(ratio)
             if self.last_ratio <= tol:
                 return x
-            if attempt == 0:
+            # see devicechol.PersistentDeviceFactor.exact_solve: more
+            # sweeps for a marginal miss, refactor only for a truly
+            # stale factor (rho > ~0.2) or after sweeps already failed
+            rho = self.last_ratio ** (1.0 / n_ir)
+            if not refactored and (rho > 0.2 or attempt >= 2):
                 self.ensure(cp, h, xi, d, force=True)
+                refactored = True
             else:
                 n_ir = 2 * n_ir
         # same visibility contract as PersistentDeviceFactor.exact_solve
@@ -315,10 +382,9 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     (monolithic while_loop programs crash/corrupt on the axon backend
     at scale, CLAUDE.md; the persistent-factor flow mirrors
     solver/implicit.newton_solve_host)."""
-    r0v = _jit_residual_mi(data, mi, co, ss, p, q, cp, h, xi,
-                           jnp.zeros_like(d0))
-    r_ref = float(jnp.linalg.norm(r0v))
-    r, rn_, Pi_ = _jit_res_pot_mi(data, mi, co, ss, p, q, cp, h, xi, d0)
+    r_ref_, r, rn_, Pi_ = _jit_entry_mi(data, mi, co, ss, p, q, cp, h,
+                                        xi, d0)
+    r_ref = float(r_ref_)
     rn = float(rn_)
     Pi0 = float(Pi_)
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
@@ -342,28 +408,32 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     # stale to precondition).
     device_fac.ensure(cp, h, xi, d)
     while (it < max_it and rn > atol and rn > rtol * r_ref):
-        # direction tolerance 1e-3 (inexact-Newton forcing): with 3 IR
-        # sweeps the certificate is ratio ~ rho^3, so a mildly stale
-        # factor (rho ~ 0.1) passes at 1e-3 but refactors at the
-        # adjoint-grade 1e-6 — directions don't need that, the line
-        # search and the next residual measure actual progress
-        delta = device_fac.exact_solve(cp, h, xi, d, -r,
-                                       tol=1e-3) * data.free
-        slope = float(jnp.sum(r * delta))
+        # fused direction + certificate + Armijo slope (one dispatch);
+        # tol=1e-3 is inexact-Newton forcing — with 3 IR sweeps the
+        # certificate is ratio ~ rho^3, so a mildly stale factor
+        # (rho ~ 0.1) passes at 1e-3 but refactors at the adjoint-grade
+        # 1e-6; the line search / next residual measure actual progress
+        delta, slope = device_fac.newton_direction(cp, h, xi, d, r,
+                                                   tol=1e-3)
         # see solver/implicit.newton_solve_host: "done" also requires
         # residual stagnation, not just a sub-resolution slope
         slope_tiny = abs(slope) <= 4.0 * eps * abs(Pi0) + 1e-300
+        # each trial is ONE fused dispatch producing the full candidate
+        # state (d_try, r, |r|, Pi); on acceptance (the common warm
+        # case: exact direction, alpha=1) it IS the next iteration's
+        # state — no separate res/pot program afterwards
         alpha = 1.0
         ls_fail = False
-        if not slope_tiny:
-            for _ in range(30):
-                Pi_try = float(_jit_potential_mi(
-                    data, mi, co, ss, p, q, cp, h, xi, d + alpha * delta))
-                if Pi_try <= Pi0 + 1e-4 * alpha * slope + 16 * eps * abs(Pi0):
-                    break
-                alpha *= 0.5
-            else:
-                ls_fail = True
+        for _ in range(1 if slope_tiny else 30):
+            d_try, r_try, rn_try_, Pi_try_ = _jit_trial_mi(
+                data, mi, co, ss, p, q, cp, h, xi, d, delta, alpha)
+            Pi_try = float(Pi_try_)
+            if slope_tiny or Pi_try <= (Pi0 + 1e-4 * alpha * slope
+                                        + 16 * eps * abs(Pi0)):
+                break
+            alpha *= 0.5
+        else:
+            ls_fail = True
         if ls_fail and not refactored_on_stall:
             device_fac.ensure(cp, h, xi, d, force=True)
             refactored_on_stall = True
@@ -371,11 +441,10 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
         if not ls_fail:
             refactored_on_stall = False  # re-arm (see implicit.py)
         rn_prev = rn
-        d = d + alpha * delta
-        r, rn_, Pi_new_ = _jit_res_pot_mi(data, mi, co, ss, p, q, cp, h,
-                                          xi, d)
-        rn = float(rn_)
-        Pi_new = float(Pi_new_)
+        d = d_try
+        r = r_try
+        rn = float(rn_try_)
+        Pi_new = Pi_try
         it += 1
         if verbose:
             print(f"  newton(mi,host) it {it}: |r|={rn:.3e} alpha={alpha:g}")

@@ -258,32 +258,91 @@ def _c2x_res_jac(ss, mi, cp, x, *, p, q):
     return r, J
 
 
+def _batched_f32ir_solve(J, b, n_ir):
+    """Batched solve J x = b (J (I,M,M) f64) ON DEVICE: f32 LU +
+    f64 iterative refinement. Unlike the shell tangents (cond ~1e12,
+    where f32 factorization is unusable), the xi systems are small
+    geometric Jacobians (cond ~1e3-1e5): each IR sweep contracts the
+    error by ~cond*eps32, so a few sweeps reach f64 grade — and the
+    whole solve stays inside one XLA program (the batched f64 LU the
+    host loop used does not exist on the axon device). Returns
+    (x, ratio) with ratio = |last correction|/|x| as the convergence
+    certificate."""
+    f32 = jnp.float32
+    lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(J.astype(f32))
+
+    def subst(rhs):
+        s = jax.vmap(lambda l, p_, b_: jax.scipy.linalg.lu_solve(
+            (l, p_), b_))(lu, piv, rhs.astype(f32))
+        return s.astype(b.dtype)
+
+    x = subst(b)
+
+    def sweep(_, carry):
+        x, _ = carry
+        resid = b - jnp.einsum("imn,in->im", J, x)
+        dx = subst(resid)
+        return x + dx, jnp.linalg.norm(dx)
+
+    x, last_dx = jax.lax.fori_loop(0, n_ir, sweep,
+                                   (x, jnp.linalg.norm(x)))
+    return x, last_dx / (jnp.linalg.norm(x) + 1e-300)
+
+
+@partial(jax.jit, static_argnames=("p", "q", "n_ir"))
+def _c2x_step(ss, mi, cp, x, *, p, q, n_ir=3):
+    """ONE fused full-Newton xi step: residual + Jacobian + batched
+    f32-LU/f64-IR solve + trial residual, a single device program.
+    The host loop around it only checks norms and (rarely) falls back
+    to the damped path — on axon each extra host-composed stage costs
+    a ~27 ms tunnel roundtrip, and the warm xi solve (1-3 steps) sat
+    at ~0.5 s/optimizer-iteration with the 3-dispatch loop."""
+    r = _c2x_res.__wrapped__(ss, mi, cp, x, p=p, q=q)
+    J = _c2x_jac.__wrapped__(ss, mi, cp, x, p=p, q=q)
+    dx, ratio = _batched_f32ir_solve(J, -r, n_ir)
+    x_new = x + dx
+    r_new = _c2x_res.__wrapped__(ss, mi, cp, x_new, p=p, q=q)
+    rn = jnp.max(jnp.linalg.norm(r, axis=-1))
+    rn_new = jnp.max(jnp.linalg.norm(r_new, axis=-1))
+    return x_new, rn, rn_new, ratio
+
+
 def _c2x_newton_host(ss, mi, cp, x0, *, p, q, rtol=1e-12, max_it=20):
     import numpy as np
 
     x = x0
     for it in range(max_it):
+        # optimistic fused full step (the warm/normal case): accept on
+        # sufficient decrease, one dispatch per Newton iteration
+        x_new, rn_, rn_new_, _ = _c2x_step(ss, mi, cp, x, p=p, q=q)
+        rn = float(rn_)
+        if rn <= rtol:
+            return x, it, rn
+        rn_new = float(rn_new_)
+        if rn_new <= (1 - 1e-4) * rn:
+            x = x_new
+            if rn_new <= rtol:
+                return x, it + 1, rn_new
+            continue
+        # full step did not contract (cold/pathological state):
+        # damped fallback for THIS iteration — host f64 solve +
+        # backtracking on the batched residual norm
         r, J = _c2x_res_jac(ss, mi, cp, x, p=p, q=q)
-        # per-intersection dense solves are tiny (4N x 4N): host f64
         dx = jnp.asarray(np.linalg.solve(
             np.asarray(J), -np.asarray(r)[..., None])[..., 0],
             dtype=x.dtype)
-        # convergence on the MAX per-intersection norm, matching the
-        # jitted device solver (_c2x_newton): the aggregate norm can
-        # hide one badly-converged intersection among many
-        rnf = float(jnp.max(jnp.linalg.norm(r, axis=-1)))
-        if rnf <= rtol:
-            return x, it, rnf
-        # backtracking on the batched residual norm
         alpha = 1.0
         for _ in range(20):
             rt = _c2x_res(ss, mi, cp, x + alpha * dx, p=p, q=q)
             if float(jnp.max(jnp.linalg.norm(rt, axis=-1))) \
-                    <= (1 - 1e-4 * alpha) * rnf:
+                    <= (1 - 1e-4 * alpha) * rn:
                 break
             alpha *= 0.5
         x = x + alpha * dx
-    r, _ = _c2x_res_jac(ss, mi, cp, x, p=p, q=q)
+    # convergence on the MAX per-intersection norm, matching the jitted
+    # device solver (_c2x_newton): the aggregate norm can hide one
+    # badly-converged intersection among many
+    r = _c2x_res(ss, mi, cp, x, p=p, q=q)
     return x, max_it, float(jnp.max(jnp.linalg.norm(r, axis=-1)))
 
 
@@ -304,13 +363,28 @@ def _c2x_adjoint_direct(ss, mi, cp, x, g, *, p, q):
     return _c2x_res_vjp.__wrapped__(ss, mi, cp, x, lam, p=p, q=q)
 
 
+@partial(jax.jit, static_argnames=("p", "q", "n_ir"))
+def _c2x_adjoint_f32ir(ss, mi, cp, x, g, *, p, q, n_ir=3):
+    """Fused mixed-path backward: Jacobian + batched transpose
+    f32-LU/f64-IR solve + residual vjp, ONE device program (see
+    _c2x_step). Returns (dcp, ratio) — ratio is the IR certificate;
+    the caller falls back to the exact host solve when it fails."""
+    J = _c2x_jac.__wrapped__(ss, mi, cp, x, p=p, q=q)
+    lam, ratio = _batched_f32ir_solve(jnp.swapaxes(J, -1, -2), g, n_ir)
+    return _c2x_res_vjp.__wrapped__(ss, mi, cp, x, lam, p=p, q=q), ratio
+
+
 def _c2x_adjoint(ss, mi, cp, x, g, *, p, q):
     """Implicit-function backward: dR/dxi^T lam = g, dcp = -lam^T
-    dR/dcp. On TPU the tiny per-intersection transpose solves run on
-    the host (no batched f64 LU on device)."""
+    dR/dcp. On TPU one fused device program (f32 LU + f64 IR — the
+    xi systems are low-cond, unlike the shell tangents); exact host
+    f64 solve as certificate-guarded fallback."""
     from goldfish_tpu.solver.linalg import mode as _mode
 
     if _mode() == "mixed":
+        dcp, ratio = _c2x_adjoint_f32ir(ss, mi, cp, x, g, p=p, q=q)
+        if float(ratio) <= 1e-9:
+            return dcp
         import numpy as np
 
         _, J = _c2x_res_jac(ss, mi, cp, x, p=p, q=q)

@@ -151,6 +151,32 @@ def _jvp_ir_solve(data: SystemData, L, invs, dscale, cp, h, d, b,
     return x, ratio
 
 
+@partial(jax.jit, static_argnames=("nb",))
+def _subst_dir(data: SystemData, L, invs, dscale, r, nb: int):
+    """Substitution-only Newton direction + Armijo slope in ONE device
+    program (the direction + free-mask + slope sequence otherwise costs
+    three ~27 ms tunnel roundtrips per iteration on axon)."""
+    N = dscale.shape[0]
+    Np = L.shape[0]
+    rn = dscale * (-r).reshape(-1)
+    if Np != N:
+        rn = jnp.concatenate([rn, jnp.zeros(Np - N, dtype=rn.dtype)])
+    y = _chol_substitute(L, invs, rn, nb)
+    delta = (dscale * y[:N]).reshape(r.shape) * data.free
+    return delta, jnp.sum(r * delta)
+
+
+@partial(jax.jit, static_argnames=("nb", "n_ir"))
+def _jvp_ir_dir(data: SystemData, L, invs, dscale, cp, h, d, r,
+                nb: int, n_ir: int):
+    """IR-exact Newton direction: jvp-IR solve + certificate +
+    free-mask + Armijo slope, one program (see _jvp_ir_solve)."""
+    x, ratio = _jvp_ir_solve.__wrapped__(data, L, invs, dscale, cp, h,
+                                         d, -r, nb=nb, n_ir=n_ir)
+    delta = x * data.free
+    return delta, ratio, jnp.sum(r * delta)
+
+
 class PersistentDeviceFactor:
     """ONE on-device f64 factorization amortized across Newton AND
     optimizer iterations (the round-2 production path).
@@ -172,10 +198,13 @@ class PersistentDeviceFactor:
         self.dc = DeviceCholesky(nb=nb, mb=mb)
         self.stale_tol = stale_tol
         self.n_ir = n_ir
+        self.rho_est = self._RHO0  # measured per-sweep IR contraction
         self._ref = None         # (cp, h, d) at factor time
         self.n_factor = 0
         self.last_ratio = 0.0    # certificate of the last exact_solve
         self.nonconverged = False  # any exact_solve ever failed cert?
+        self.refactor_log = []   # (why, drift_or_rho) per factorization
+        self.cert_log = []       # (tag, n_ir, ratio) per IR attempt
 
     @staticmethod
     @jax.jit
@@ -195,11 +224,20 @@ class PersistentDeviceFactor:
         dd = jnp.linalg.norm(d - d0) / d_scale
         return jnp.maximum(jnp.maximum(dcp, dh), dd)
 
-    def ensure(self, cp, h, d, force=False):
-        """Refactor if stale; returns True when a factorization ran."""
+    def ensure(self, cp, h, d, force=False, stale_tol=None, why=""):
+        """Refactor if stale; returns True when a factorization ran.
+
+        `stale_tol` overrides the instance threshold for THIS check:
+        call sites whose solves are certificate-protected (jvp-IR
+        directions / exact_solve) pass a LOOSE tol (~0.2) so only a
+        grossly stale factor (a cold transient) refactors preemptively
+        — the IR certificate already self-refactors when sweeps fail,
+        and a drift-triggered refactor costs ~3x an IR solve."""
+        drift = -1.0
         if self._ref is not None and not force:
             drift = float(self._drift(cp, h, d, *self._ref))
-            if drift <= self.stale_tol:
+            tol = self.stale_tol if stale_tol is None else stale_tol
+            if drift <= tol:
                 return False
         from goldfish_tpu.solver.implicit import _jit_assemble_K
 
@@ -207,42 +245,96 @@ class PersistentDeviceFactor:
         self.dc.factor(K)
         self._ref = (cp, h, d)
         self.n_factor += 1
+        self.rho_est = self._RHO0
+        self.refactor_log.append((why or "drift", drift))
         return True
 
     def direction(self, r):
         """Inexact-Newton direction: substitution only (1 dispatch)."""
         return self.dc.solve(r)
 
+    def direction_slope(self, r):
+        """Fused substitution direction (free-masked) + Armijo slope
+        for -r; one dispatch (see _subst_dir)."""
+        return _subst_dir(self.data, self.dc._L, self.dc._invs,
+                          self.dc._dscale, r, nb=self.dc.nb)
+
+    # --- adaptive IR policy -------------------------------------------
+    # ratio ~ rho^n_ir with rho the per-sweep IR contraction (set by
+    # factor staleness).  The policy MEASURES rho from each certificate
+    # and sizes the next solve's sweep count to hit its tol — instead
+    # of refactoring (~3x the cost of an IR solve) whenever a fixed
+    # sweep count missed.  Refactor only for a genuinely stale factor
+    # (rho > 0.5: sweeps barely contract) or when retries exhaust.
+    _RHO0 = 1e-3        # optimistic initial estimate (fresh factor)
+    _MAX_SWEEPS = 16
+
+    def _n_for(self, tol, rho):
+        import math
+
+        rho = min(max(rho, 1e-4), 0.9)
+        n = math.ceil(math.log(tol) / math.log(rho)) + 1
+        return min(max(n, 1), self._MAX_SWEEPS)
+
+    def _rho(self, n_ir):
+        """Per-sweep contraction measured from the last certificate."""
+        if self.last_ratio <= 0.0:
+            return 1e-4
+        return self.last_ratio ** (1.0 / n_ir)
+
+    def newton_direction(self, cp, h, d, r, tol=1e-3):
+        """Fused IR-exact Newton direction, certificate-validated;
+        returns (delta, slope). tol=1e-3 is inexact-Newton forcing —
+        the line search and the next residual measure actual progress,
+        only adjoints need the 1e-6 grade (see
+        system_mi.PersistentDeviceFactorMI)."""
+        refactored = False
+        for attempt in range(5):
+            n_ir = self._n_for(tol, self.rho_est)
+            delta, ratio, slope = _jvp_ir_dir(
+                self.data, self.dc._L, self.dc._invs, self.dc._dscale,
+                cp, h, d, r, nb=self.dc.nb, n_ir=n_ir)
+            self.last_ratio = float(ratio)
+            self.cert_log.append(("dir", n_ir, self.last_ratio))
+            if self.last_ratio <= tol:
+                # nudge the estimate toward the measurement so later
+                # solves stop over-sweeping once the factor freshens
+                self.rho_est = max(self._rho(n_ir), self._RHO0)
+                break
+            self.rho_est = self._rho(n_ir)
+            if not refactored and (self.rho_est > 0.5 or attempt >= 3
+                                   or n_ir >= self._MAX_SWEEPS):
+                self.ensure(cp, h, d, force=True, why="dir-cert")
+                refactored = True
+        return delta, float(slope)
+
     def exact_solve(self, cp, h, d, b, n_ir=None, tol=1e-6):
         """K(d) x = b via jvp-matvec IR, SELF-VALIDATING: if the
         in-program convergence certificate says the sweeps did not
-        contract to `tol` (factor too stale for IR), refactor at the
-        current state and redo. If the certificate STILL fails after a
-        fresh factor and doubled sweeps, the failure is made visible
-        (warning + `nonconverged` flag) rather than silently
-        propagating an inaccurate solve into adjoint gradients."""
-        n_ir = self.n_ir if n_ir is None else n_ir
+        contract to `tol` (factor too stale for IR), grow the sweep
+        count from the measured contraction or refactor at the current
+        state and redo. If the certificate STILL fails after a fresh
+        factor, the failure is made visible (warning + `nonconverged`
+        flag) rather than silently propagating an inaccurate solve
+        into adjoint gradients."""
         refactored = False
-        for attempt in range(4):
+        for attempt in range(5):
+            n = self._n_for(tol, self.rho_est) if n_ir is None else n_ir
             x, ratio = _jvp_ir_solve(self.data, self.dc._L,
                                      self.dc._invs, self.dc._dscale,
                                      cp, h, d, b, nb=self.dc.nb,
-                                     n_ir=n_ir)
+                                     n_ir=n)
             self.last_ratio = float(ratio)
+            self.cert_log.append(("exact", n, self.last_ratio))
             if self.last_ratio <= tol:
+                self.rho_est = max(self._rho(n), self._RHO0)
                 return x
-            # ratio ~ rho^n_ir: estimate the per-sweep contraction to
-            # decide between MORE SWEEPS (one extra solve) and a
-            # REFACTOR (~3x a solve: assemble + blocked factor).  A
-            # marginal certificate miss (rho small) just needs sweeps;
-            # only a genuinely stale factor (rho > ~0.2) or a failed
-            # doubled-sweep attempt justifies refactoring.
-            rho = self.last_ratio ** (1.0 / n_ir)
-            if not refactored and (rho > 0.2 or attempt >= 2):
-                self.ensure(cp, h, d, force=True)
+            self.rho_est = self._rho(n)
+            n_ir = None  # retries re-size from the measured rho
+            if not refactored and (self.rho_est > 0.5 or attempt >= 3
+                                   or n >= self._MAX_SWEEPS):
+                self.ensure(cp, h, d, force=True, why="exact-cert")
                 refactored = True
-            else:
-                n_ir = 2 * n_ir
         self.nonconverged = True
         import warnings
 

@@ -210,6 +210,28 @@ def _jit_potential(data: SystemData, cp, h, d):
 
 
 @jax.jit
+def _jit_entry(data: SystemData, cp, h, d0):
+    """Newton entry in ONE program: load-scale |r(0)| (the convergence
+    reference, CLAUDE.md), r(d0), |r(d0)|, Pi(d0)."""
+    r0 = residual(data, jnp.zeros_like(d0), cp, h)
+    r = residual(data, d0, cp, h)
+    return jnp.linalg.norm(r0), r, jnp.linalg.norm(r), \
+        total_potential(data, d0, cp, h)
+
+
+@jax.jit
+def _jit_trial(data: SystemData, cp, h, d, delta, alpha):
+    """Line-search trial state in ONE program: d_try, its residual,
+    |r|, and potential. When the trial is accepted (the common warm
+    case: alpha=1) these ARE the next iteration's state — no separate
+    res/pot dispatch (see system_mi._jit_trial_mi)."""
+    d_new = d + alpha * delta
+    r = residual(data, d_new, cp, h)
+    return d_new, r, jnp.linalg.norm(r), \
+        total_potential(data, d_new, cp, h)
+
+
+@jax.jit
 def _jit_blocks(data: SystemData, cp, h, d):
     from goldfish_tpu.solver.blocks import compute_blocks
 
@@ -230,7 +252,7 @@ def _jit_assemble_K(data: SystemData, cp, h, d):
 
 def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
                       max_it=30, verbose=False, host_fac=None,
-                      device_fac=None):
+                      device_fac=None, shared=None):
     """Host-driven damped Newton: python composition of SMALL jitted
     programs, each individually validated on the axon TPU backend
     (larger fused programs — a whole Newton step, or the monolithic
@@ -245,9 +267,18 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     convergence stalls. This replaces the round-1
     refactor-every-iteration scheme (measured: a 1e-3-stale factor
     still refines to the floor, scripts/stale_ir_wing.py)."""
-    r0 = _jit_residual(data, cp, h, jnp.zeros_like(d0))
-    r_ref = float(jnp.linalg.norm(r0))
-    r, rn_, Pi = _jit_res_pot(data, cp, h, d0)
+    # `shared` (optional dict) amortizes across SOLVES of a warm
+    # optimizer loop: "r_ref" caches the load-scale reference |r(0)|
+    # (an extra full residual program per solve otherwise, while a
+    # per-iteration design step moves it ~0.1%)
+    if shared is not None and "r_ref" in shared:
+        r_ref = shared["r_ref"]
+        r, rn_, Pi = _jit_res_pot(data, cp, h, d0)
+    else:
+        r_ref_, r, rn_, Pi = _jit_entry(data, cp, h, d0)
+        r_ref = float(r_ref_)
+        if shared is not None:
+            shared["r_ref"] = r_ref
     rn = float(rn_)
     Pi0 = float(Pi)
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
@@ -270,40 +301,50 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     while (it < max_it and rn > atol and rn > rtol * r_ref):
         if device_direct:
             if use_ir:
-                # exact Newton via the fused jvp-IR solve against the
-                # (possibly stale) factor: replaces the refactor-on-
-                # slow-contraction heuristic — one IR direction costs
-                # ~1/3 of an assemble+factor and converges
+                # exact Newton via the fused jvp-IR direction against
+                # the (possibly stale) factor: replaces the refactor-
+                # on-slow-contraction heuristic — one IR direction
+                # costs ~1/3 of an assemble+factor and converges
                 # quadratically (see newton_solve_mi_host)
-                delta = device_fac.exact_solve(cp, h, d, -r) * data.free
+                delta, slope = device_fac.newton_direction(cp, h, d, r,
+                                                           tol=1e-3)
             else:
                 device_fac.ensure(cp, h, d)
-                delta = device_fac.direction(-r) * data.free
+                # fused substitution + free-mask + slope (1 dispatch)
+                delta, slope = device_fac.direction_slope(r)
+                slope = float(slope)
         elif host_direct:
             blocks = _jit_blocks(data, cp, h, d)
             # host f64 LU fallback (amortized via exact-residual IR)
             delta = host_fac.solve(blocks, -r) * data.free
+            slope = float(jnp.sum(r * delta))
         else:
             blocks = _jit_blocks(data, cp, h, d)
             delta = _jit_block_solve(data, blocks, -r) * data.free
-        slope = float(jnp.sum(r * delta))
+            slope = float(jnp.sum(r * delta))
         # see newton_solve: slope underflows the energy resolution on
         # stiff systems while |r| is still contracting — "done" also
-        # requires residual stagnation
-        slope_tiny = abs(slope) <= 4.0 * eps * abs(Pi0) + 1e-300
+        # requires residual stagnation. 64x-eps margin: at |slope| ~ a
+        # few eps*|Pi| the Armijo comparison is a coin flip on
+        # roundoff noise and the line search thrashes to alpha ~ 1e-4
+        # chasing unresolvable energy differences (see system_mi)
+        slope_tiny = abs(slope) <= 64.0 * eps * abs(Pi0) + 1e-300
 
+        # each trial is ONE fused dispatch producing the full candidate
+        # state (d_try, r, |r|, Pi); on acceptance (the common warm
+        # case: alpha=1) it IS the next iteration's state
         alpha = 1.0
         ls_fail = False
-        if not slope_tiny:
-            for k_ls in range(30):
-                Pi_try = float(_jit_potential(data, cp, h,
-                                              d + alpha * delta))
-                if Pi_try <= Pi0 + 1e-4 * alpha * slope \
-                        + 16 * eps * abs(Pi0):
-                    break
-                alpha *= 0.5
-            else:
-                ls_fail = True
+        for _ in range(1 if slope_tiny else 30):
+            d_try, r_try, rn_try_, Pi_try_ = _jit_trial(
+                data, cp, h, d, delta, alpha)
+            Pi_try = float(Pi_try_)
+            if slope_tiny or Pi_try <= (Pi0 + 1e-4 * alpha * slope
+                                        + 16 * eps * abs(Pi0)):
+                break
+            alpha *= 0.5
+        else:
+            ls_fail = True
         if ls_fail and device_direct and not refactored_on_stall:
             # stale direction not a descent direction: refresh the
             # factor at the current state and retry this iteration
@@ -315,11 +356,15 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
             # a NEW iterate deserves its own fresh-factor retry (the
             # one-shot latch wasted a max_it slot on a 0.5^30 no-op)
             refactored_on_stall = False
+        if slope_tiny and float(rn_try_) >= rn:
+            # the sub-resolution full step WORSENED |r|: the step was
+            # noise — keep the better current iterate and stop
+            break
         rn_prev = rn
-        d = d + alpha * delta
-        r, rn_, Pi_new_ = _jit_res_pot(data, cp, h, d)
-        rn = float(rn_)
-        Pi_new = float(Pi_new_)
+        d = d_try
+        r = r_try
+        rn = float(rn_try_)
+        Pi_new = Pi_try
         it += 1
         if verbose:
             print(f"  newton(host) it {it}: |r|={rn:.3e} alpha={alpha:g}")
@@ -376,7 +421,9 @@ def adjoint_solve(data: SystemData, d, cp, h, g, host_fac=None,
         if devicechol.enabled():
             fac = device_fac if device_fac is not None \
                 else devicechol.PersistentDeviceFactor(data)
-            fac.ensure(cp, h, d)
+            # loose drift check: exact_solve's certificate guarantees
+            # the adjoint grade against a warm-stale factor
+            fac.ensure(cp, h, d, stale_tol=0.2, why="adjoint")
             lam = fac.exact_solve(cp, h, d, g * data.free) * data.free
             return _jit_residual_vjp(data, d, cp, h, lam)
         blocks = _jit_blocks(data, cp, h, d)
@@ -425,6 +472,7 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
     # f64-emulation floor sits far above rtol*r_ref; without the hint
     # every warm solve burns one extra assemble+factor detecting it)
     floor_hint = [atol]
+    shared = {}
 
     @jax.custom_vjp
     def solve(cp, h, d0):
@@ -434,7 +482,7 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
             d, its, rn = newton_solve_host(data, cp, h, d0, rtol=rtol,
                                            atol=max(atol, floor_hint[0]),
                                            max_it=max_it, host_fac=phf,
-                                           device_fac=pdf)
+                                           device_fac=pdf, shared=shared)
             if its < max_it:  # converged/floored, not max_it-truncated
                 floor_hint[0] = max(atol, 1.5 * rn)
             return d
@@ -505,7 +553,7 @@ def build_field_solve_fn(data: SystemData, rtol=1e-9, atol=1e-14,
             # pdf's jvp matvec uses `data` WITHOUT f_field — correct:
             # a dead areal field is linear in d, so the tangent K is
             # identical; only dR/df in the vjp below needs data_f
-            pdf.ensure(cp, h, d)
+            pdf.ensure(cp, h, d, stale_tol=0.2, why="field-adjoint")
             lam = pdf.exact_solve(cp, h, d, g * data.free) * data.free
         else:
             K = assemble_K(data_f, d, cp, h)

@@ -274,10 +274,12 @@ def _jit_entry_mi(data, mi, co, ss, p, q, cp, h, xi, d0):
 class PersistentDeviceFactorMI:
     """MI counterpart of devicechol.PersistentDeviceFactor: one
     amortized on-device f64 factorization of the MI tangent, inexact
-    substitution directions, self-validating jvp-IR exact solves."""
+    substitution directions, self-validating jvp-IR exact solves with
+    the same measured-contraction adaptive sweep policy."""
 
     def __init__(self, data, mi, co, ss, p, q, nb=256, mb=16,
                  stale_tol=5e-3, n_ir=3):
+        from goldfish_tpu.solver.devicechol import PersistentDeviceFactor
         from goldfish_tpu.solver.tpu_cholesky import DeviceCholesky
 
         self.args = (data, mi, co, ss)
@@ -286,14 +288,27 @@ class PersistentDeviceFactorMI:
         self.dc = DeviceCholesky(nb=nb, mb=mb)
         self.stale_tol = stale_tol
         self.n_ir = n_ir
+        self.rho_est = PersistentDeviceFactor._RHO0
         self._ref = None
         self.n_factor = 0
         self.last_ratio = 0.0
         self.nonconverged = False
+        self.refactor_log = []
+        self.cert_log = []   # (tag, n_ir, ratio) per IR attempt
 
-    def ensure(self, cp, h, xi, d, force=False):
+    # shared measured-contraction IR policy (devicechol)
+    from goldfish_tpu.solver.devicechol import PersistentDeviceFactor \
+        as _P
+    _RHO0, _MAX_SWEEPS = _P._RHO0, _P._MAX_SWEEPS
+    _n_for, _rho = _P._n_for, _P._rho
+    del _P
+
+    def ensure(self, cp, h, xi, d, force=False, stale_tol=None, why=""):
+        """See devicechol.PersistentDeviceFactor.ensure — same loose-
+        tol contract for certificate-protected call sites."""
         from goldfish_tpu.solver.devicechol import PersistentDeviceFactor
 
+        drift = -1.0
         if self._ref is not None and not force:
             cp0, h0, d0, xi0 = self._ref
             drift = float(PersistentDeviceFactor._drift(
@@ -304,64 +319,67 @@ class PersistentDeviceFactorMI:
             dxi = float(jnp.linalg.norm(xi - xi0)
                         / (jnp.linalg.norm(xi0) + 1e-300))
             drift = max(drift, dxi)
-            if drift <= self.stale_tol:
+            tol = self.stale_tol if stale_tol is None else stale_tol
+            if drift <= tol:
                 return False
         data, mi, co, ss = self.args
         K = _jit_K_mi(data, mi, co, ss, self.p, self.q, cp, h, xi, d)
         self.dc.factor(K)
         self._ref = (cp, h, d, xi)
         self.n_factor += 1
+        self.rho_est = self._RHO0
+        self.refactor_log.append((why or "drift", drift))
         return True
 
     def direction(self, r):
         return self.dc.solve(r)
 
     def newton_direction(self, cp, h, xi, d, r, tol=1e-3):
-        """Fused IR-exact Newton direction with the same ratio-aware
-        certificate policy as exact_solve; returns (delta, slope).
+        """Fused IR-exact Newton direction, certificate-validated with
+        the measured-contraction policy; returns (delta, slope).
         tol=1e-3 is inexact-Newton forcing — the line search and the
         next residual measure actual progress, only adjoints need the
         1e-6 grade."""
         data, mi, co, ss = self.args
-        n_ir = self.n_ir
         refactored = False
-        for attempt in range(4):
+        for attempt in range(5):
+            n_ir = self._n_for(tol, self.rho_est)
             delta, ratio, slope = _jit_dir_mi(
                 data, mi, co, ss, self.dc._L, self.dc._invs,
                 self.dc._dscale, cp, h, xi, d, r, p=self.p, q=self.q,
                 nb=self.dc.nb, n_ir=n_ir)
             self.last_ratio = float(ratio)
+            self.cert_log.append(("dir", n_ir, self.last_ratio))
             if self.last_ratio <= tol:
+                self.rho_est = max(self._rho(n_ir), self._RHO0)
                 break
-            rho = self.last_ratio ** (1.0 / n_ir)
-            if not refactored and (rho > 0.2 or attempt >= 2):
-                self.ensure(cp, h, xi, d, force=True)
+            self.rho_est = self._rho(n_ir)
+            if not refactored and (self.rho_est > 0.5 or attempt >= 3
+                                   or n_ir >= self._MAX_SWEEPS):
+                self.ensure(cp, h, xi, d, force=True, why="dir-cert")
                 refactored = True
-            else:
-                n_ir = 2 * n_ir
         return delta, float(slope)
 
     def exact_solve(self, cp, h, xi, d, b, n_ir=None, tol=1e-6):
         data, mi, co, ss = self.args
-        n_ir = self.n_ir if n_ir is None else n_ir
         refactored = False
-        for attempt in range(4):
+        for attempt in range(5):
+            n = self._n_for(tol, self.rho_est) if n_ir is None else n_ir
             x, ratio = _jvp_ir_solve_mi(
                 data, mi, co, ss, self.dc._L, self.dc._invs,
                 self.dc._dscale, cp, h, xi, d, b, p=self.p, q=self.q,
-                nb=self.dc.nb, n_ir=n_ir)
+                nb=self.dc.nb, n_ir=n)
             self.last_ratio = float(ratio)
+            self.cert_log.append(("exact", n, self.last_ratio))
             if self.last_ratio <= tol:
+                self.rho_est = max(self._rho(n), self._RHO0)
                 return x
-            # see devicechol.PersistentDeviceFactor.exact_solve: more
-            # sweeps for a marginal miss, refactor only for a truly
-            # stale factor (rho > ~0.2) or after sweeps already failed
-            rho = self.last_ratio ** (1.0 / n_ir)
-            if not refactored and (rho > 0.2 or attempt >= 2):
-                self.ensure(cp, h, xi, d, force=True)
+            self.rho_est = self._rho(n)
+            n_ir = None  # retries re-size from the measured rho
+            if not refactored and (self.rho_est > 0.5 or attempt >= 3
+                                   or n >= self._MAX_SWEEPS):
+                self.ensure(cp, h, xi, d, force=True, why="exact-cert")
                 refactored = True
-            else:
-                n_ir = 2 * n_ir
         # same visibility contract as PersistentDeviceFactor.exact_solve
         self.nonconverged = True
         import warnings
@@ -376,15 +394,27 @@ class PersistentDeviceFactorMI:
 
 def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
                          rtol=1e-10, atol=1e-14, max_it=30, verbose=False,
-                         device_fac=None):
+                         device_fac=None, shared=None):
     """Host-driven MI Newton for the TPU path: python composition of
     small jitted programs + ONE amortized on-device f64 Cholesky
     (monolithic while_loop programs crash/corrupt on the axon backend
     at scale, CLAUDE.md; the persistent-factor flow mirrors
-    solver/implicit.newton_solve_host)."""
-    r_ref_, r, rn_, Pi_ = _jit_entry_mi(data, mi, co, ss, p, q, cp, h,
-                                        xi, d0)
-    r_ref = float(r_ref_)
+    solver/implicit.newton_solve_host).
+
+    `shared` (optional dict) amortizes across SOLVES of a warm
+    optimizer loop: "r_ref" caches the load-scale reference |r(0)|
+    (an extra full residual program per solve otherwise, while a
+    per-iteration design step moves it ~0.1%)."""
+    if shared is not None and "r_ref" in shared:
+        r_ref = shared["r_ref"]
+        r, rn_, Pi_ = _jit_res_pot_mi(data, mi, co, ss, p, q, cp, h,
+                                      xi, d0)
+    else:
+        r_ref_, r, rn_, Pi_ = _jit_entry_mi(data, mi, co, ss, p, q, cp,
+                                            h, xi, d0)
+        r_ref = float(r_ref_)
+        if shared is not None:
+            shared["r_ref"] = r_ref
     rn = float(rn_)
     Pi0 = float(Pi_)
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
@@ -405,8 +435,11 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     # (~0.6 s) is the exact Newton direction at the current state —
     # quadratic convergence, alpha = 1 accepted, no refactor (the IR
     # certificate self-refactors only when the factor is truly too
-    # stale to precondition).
-    device_fac.ensure(cp, h, xi, d)
+    # stale to precondition). The entry drift check is LOOSE (0.2):
+    # it preempts only gross staleness (a cold transient); warm
+    # optimizer steps (~1e-3 drift) ride the certificate instead of
+    # paying a ~3x-solve-cost refactor every solve.
+    device_fac.ensure(cp, h, xi, d, stale_tol=0.2, why="mi-entry")
     while (it < max_it and rn > atol and rn > rtol * r_ref):
         # fused direction + certificate + Armijo slope (one dispatch);
         # tol=1e-3 is inexact-Newton forcing — with 3 IR sweeps the
@@ -416,8 +449,13 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
         delta, slope = device_fac.newton_direction(cp, h, xi, d, r,
                                                    tol=1e-3)
         # see solver/implicit.newton_solve_host: "done" also requires
-        # residual stagnation, not just a sub-resolution slope
-        slope_tiny = abs(slope) <= 4.0 * eps * abs(Pi0) + 1e-300
+        # residual stagnation, not just a sub-resolution slope. The
+        # 64x-eps margin matters: at |slope| ~ a few eps*|Pi| the
+        # Armijo comparison is a coin flip on roundoff noise — a
+        # razor-thin threshold let the line search thrash to alpha ~
+        # 1e-4 chasing unresolvable energy differences at the
+        # residual floor (observed on hardware, warm MI solves).
+        slope_tiny = abs(slope) <= 64.0 * eps * abs(Pi0) + 1e-300
         # each trial is ONE fused dispatch producing the full candidate
         # state (d_try, r, |r|, Pi); on acceptance (the common warm
         # case: exact direction, alpha=1) it IS the next iteration's
@@ -440,6 +478,10 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
             continue
         if not ls_fail:
             refactored_on_stall = False  # re-arm (see implicit.py)
+        if slope_tiny and float(rn_try_) >= rn:
+            # the sub-resolution full step WORSENED |r|: the step was
+            # noise — keep the better current iterate and stop
+            break
         rn_prev = rn
         d = d_try
         r = r_try
@@ -488,7 +530,9 @@ def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g,
     if _mode() == "mixed":
         fac = device_fac if device_fac is not None \
             else PersistentDeviceFactorMI(data, mi, co, ss, p, q)
-        fac.ensure(cp, h, xi, d)
+        # loose drift check: exact_solve's certificate guarantees the
+        # adjoint grade (1e-6) against a warm-stale factor
+        fac.ensure(cp, h, xi, d, stale_tol=0.2, why="mi-adjoint")
         lam = fac.exact_solve(cp, h, xi, d, g * data.free) * data.free
         return _jit_res_vjp_mi(data, mi, co, ss, p, q, d, cp, h, xi, lam)
     return _adjoint_solve_mi_direct(data, mi, co, ss, p, q, d, cp, h,
@@ -510,6 +554,7 @@ def build_solve_fn_mi(data, mi, co, ss, p, q, rtol=1e-10, atol=1e-14,
     pdf = PersistentDeviceFactorMI(data, mi, co, ss, p, q) \
         if _mode() == "mixed" else None
     floor_hint = [atol]
+    shared = {}
 
     @jax.custom_vjp
     def solve(cp, h, xi, d0):
@@ -517,7 +562,7 @@ def build_solve_fn_mi(data, mi, co, ss, p, q, rtol=1e-10, atol=1e-14,
             d, its, rn = newton_solve_mi_host(
                 data, mi, co, ss, p, q, cp, h, xi, d0, rtol=rtol,
                 atol=max(atol, floor_hint[0]), max_it=max_it,
-                device_fac=pdf)
+                device_fac=pdf, shared=shared)
             if its < max_it:
                 floor_hint[0] = max(atol, 1.5 * rn)
             return d

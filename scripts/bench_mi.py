@@ -110,6 +110,13 @@ def main():
     mixed = _mode() == "mixed"
     fac = PersistentDeviceFactorMI(data, mi, co, ss, pdeg, qdeg) \
         if mixed else None
+    # cross-solve amortization state, exactly as the production
+    # build_solve_fn_mi closure maintains it: the residual-floor hint
+    # stops warm solves at the floor the previous solve reached
+    # (instead of burning 3 stall-detection iterations) and the shared
+    # dict caches the load-scale convergence reference |r(0)|
+    floor_hint = [1e-14]
+    shared = {}
     energy_vg = jax.jit(jax.value_and_grad(
         kl_shell.internal_energy, argnums=(1, 2)))
 
@@ -125,9 +132,12 @@ def main():
         cp = make_cp(amp)
         xi = c2x.solve(cp, xi0)
         if mixed:
-            d, _, _ = newton_solve_mi_host(
+            d, its, rn = newton_solve_mi_host(
                 data, mi, co, ss, pdeg, qdeg, cp, h, xi, d0,
-                rtol=1e-9, device_fac=fac)
+                rtol=1e-9, atol=floor_hint[0], device_fac=fac,
+                shared=shared)
+            if its < 30:
+                floor_hint[0] = max(1e-14, 1.5 * rn)
         else:
             d, _, _ = newton_solve_mi(data, mi, co, ss, pdeg, qdeg,
                                       cp, h, xi, d0, rtol=1e-9)

@@ -58,6 +58,21 @@ def residual_mi(data, mi, co, ss, p, q, d, cp, h, xi):
     return r * data.free
 
 
+def _gii_from_conn(mi, connA, connB, C):
+    """Global dofs (I, N, 6L) of the stacked [A; B] locals per
+    (intersection, point) from the traced conn arrays."""
+    L = connA.shape[-1]
+
+    def side(conn, pair):
+        base = (pair[:, None, None] * C + conn) * 3
+        return (base[..., None]
+                + jnp.arange(3, dtype=base.dtype)).reshape(
+                    conn.shape[0], conn.shape[1], 3 * L)
+
+    return jnp.concatenate(
+        [side(connA, mi.pairA), side(connB, mi.pairB)], axis=-1)
+
+
 def assemble_K_mi(data, mi, co, ss, p, q, d, cp, h, xi):
     """Dense BC-reduced tangent: element blocks (shared with the static
     path) + moving-interface blocks scattered via the traced conn."""
@@ -73,16 +88,7 @@ def assemble_K_mi(data, mi, co, ss, p, q, d, cp, h, xi):
     Ki, connA, connB = interface_hessians_mi(
         ss, p, q, mi, co, xi, d, cp, h, data.E)
     # global dofs of stacked [A; B] locals per (interface, point)
-    L = connA.shape[-1]
-
-    def side(conn, pair):
-        base = (pair[:, None, None] * C + conn) * 3
-        return (base[..., None]
-                + jnp.arange(3, dtype=base.dtype)).reshape(
-                    conn.shape[0], conn.shape[1], 3 * L)
-
-    gii = jnp.concatenate(
-        [side(connA, mi.pairA), side(connB, mi.pairB)], axis=-1)
+    gii = _gii_from_conn(mi, connA, connB, C)
     K = K.at[gii[..., :, None], gii[..., None, :]].add(Ki)
 
     if data.contact is not None:
@@ -235,6 +241,143 @@ def _jvp_ir_solve_mi(data, mi, co, ss, L, invs, dscale, cp, h, xi, d, b,
     return x, last_dx / (jnp.linalg.norm(x) + 1e-300)
 
 
+# --- Woodbury seam correction -----------------------------------------
+# The MI tangent's xi-sensitivity is concentrated in the interface
+# penalty block: a one-design-step xi motion leaves the element blocks
+# ~1e-3-stale (benign for IR) but changes the seam rows enough that the
+# IR iteration matrix has spectral radius O(0.3-1) along the Newton
+# step's direction (measured on hardware AND CPU, /tmp probe round 3) —
+# forcing a full refactorization EVERY warm solve (~2.5 s). The fix:
+# precondition with P = K_ref + U dKi U^T where U selects the seam dof
+# subspace (M ~ a few hundred) and dKi is the CURRENT-minus-ref
+# interface Hessian — a Woodbury correction whose per-solve cost is one
+# small device program. Substitutions become
+#     P^-1 r = s - V (U s),   s = K_ref^-1 r,
+# with V = W Cinv dK_m (N, M) prebuilt per solve from W = K_ref^-1 U^T
+# (computed once per refactorization by multi-RHS substitution) and the
+# capacitance C = I + dK_m U W inverted by f32-inverse + Newton-Schulz
+# polish (all matmuls; the capacitance is low-cond). Scatter-free
+# throughout: U is a dense one-hot matrix and dK_m assembles by one-hot
+# einsum (the repo's matmul-assembly discipline; axon gather hazards).
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def _wb_basis(L, invs, dscale, Uoh, *, nb):
+    """Per-refactorization Woodbury basis: W = K_ref^-1 U^T (N, M) via
+    multi-RHS blocked substitution, and G = U W (M, M). One program."""
+    from goldfish_tpu.solver.tpu_cholesky import _chol_substitute_multi
+
+    N = dscale.shape[0]
+    Np = L.shape[0]
+    B = dscale[:, None] * Uoh.T
+    if Np != N:
+        B = jnp.concatenate(
+            [B, jnp.zeros((Np - N, B.shape[1]), dtype=B.dtype)])
+    Y = _chol_substitute_multi(L, invs, B, nb)
+    W = dscale[:, None] * Y[:N]
+    return W, Uoh @ W
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
+def _wb_prep(data, mi, co, ss, Ki_ref, gii_ref, urows, W, G, cp, h, xi,
+             d, *, p, q):
+    """Per-solve Woodbury update: current interface Hessians, compact
+    dK_m via one-hot einsums, capacitance inverse (f32 inverse +
+    Newton-Schulz polish to f64), and the applied correction
+    V = W Cinv dK_m (N, M). Returns (V, in_u): in_u=False means a seam
+    point's support escaped the DILATED U subspace since the
+    factorization (multi-span xi motion) — the caller must refactor.
+    Single-span knot crossings stay inside U (the subspace is dilated
+    by one CP index in each direction at snapshot time) and are
+    handled exactly: the current and reference penalty blocks scatter
+    through their OWN one-hot maps."""
+    C = data.stack.max_cp
+    Ki, connA, connB = interface_hessians_mi(
+        ss, p, q, mi, co, xi, d, cp, h, data.E)
+    gii = _gii_from_conn(mi, connA, connB, C)
+    # one-hot maps into the compact seam subspace; padded urows slots
+    # are -1 (match nothing), fixed dofs are excluded from urows so BC
+    # masking is automatic
+    oh = (gii[..., :, None] == urows[None, None, None, :]).astype(
+        Ki.dtype)
+    oh_ref = (gii_ref[..., :, None] == urows[None, None, None, :]
+              ).astype(Ki.dtype)
+    # every FREE current-support dof must be representable in U
+    freeg = jnp.take(data.free.reshape(-1), gii) > 0.5
+    in_u = jnp.all((jnp.sum(oh, axis=-1) > 0.5) | ~freeg)
+    dKm = jnp.einsum("ikjm,ikjl,ikln->mn", oh, Ki, oh) \
+        - jnp.einsum("ikjm,ikjl,ikln->mn", oh_ref, Ki_ref, oh_ref)
+    M = urows.shape[0]
+    Cm = jnp.eye(M, dtype=Ki.dtype) + dKm @ G
+    X = jnp.linalg.inv(Cm.astype(jnp.float32)).astype(Ki.dtype)
+    eye = jnp.eye(M, dtype=Ki.dtype)
+    for _ in range(3):
+        X = X + X @ (eye - Cm @ X)
+    V = W @ (X @ dKm)
+    return V, in_u
+
+
+@partial(jax.jit, static_argnames=("p", "q", "nb", "n_ir"))
+def _jvp_ir_solve_mi_wb(data, mi, co, ss, L, invs, dscale, Uoh, V, cp,
+                        h, xi, d, b, *, p, q, nb, n_ir):
+    """_jvp_ir_solve_mi with Woodbury-corrected substitutions: the
+    preconditioner tracks the CURRENT seam position, so warm-stale
+    factors keep IR contraction at the benign element-staleness level
+    instead of diverging along the Newton direction."""
+    from goldfish_tpu.solver.tpu_cholesky import _chol_substitute
+
+    N = dscale.shape[0]
+    Np = L.shape[0]
+
+    def subst(r):
+        rn = dscale * r.reshape(-1)
+        if Np != N:
+            rn = jnp.concatenate(
+                [rn, jnp.zeros(Np - N, dtype=rn.dtype)])
+        y = _chol_substitute(L, invs, rn, nb)
+        s = dscale * y[:N]
+        s = s - V @ (Uoh @ s)
+        return s.reshape(b.shape)
+
+    def matvec(v):
+        mv = jax.jvp(lambda dd: residual_mi(data, mi, co, ss, p, q, dd,
+                                            cp, h, xi),
+                     (d,), (v * data.free,))[1]
+        return mv * data.free
+
+    x = subst(b)
+
+    def sweep(_, carry):
+        x, _ = carry
+        r = (b - matvec(x)) * data.free
+        dx = subst(r)
+        return x + dx, jnp.linalg.norm(dx)
+
+    x, last_dx = jax.lax.fori_loop(0, n_ir, sweep,
+                                   (x, jnp.linalg.norm(x)))
+    return x, last_dx / (jnp.linalg.norm(x) + 1e-300)
+
+
+@partial(jax.jit, static_argnames=("p", "q", "nb", "n_ir"))
+def _jit_dir_mi_wb(data, mi, co, ss, L, invs, dscale, Uoh, V, cp, h,
+                   xi, d, r, *, p, q, nb, n_ir):
+    """Woodbury-corrected fused Newton direction (see _jit_dir_mi)."""
+    x, ratio = _jvp_ir_solve_mi_wb.__wrapped__(
+        data, mi, co, ss, L, invs, dscale, Uoh, V, cp, h, xi, d, -r,
+        p=p, q=q, nb=nb, n_ir=n_ir)
+    delta = x * data.free
+    return delta, ratio, jnp.sum(r * delta)
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
+def _jit_Ki_gii(data, mi, co, ss, cp, h, xi, d, *, p, q):
+    """Interface Hessians + their global dofs at one state (the
+    Woodbury reference snapshot)."""
+    Ki, connA, connB = interface_hessians_mi(
+        ss, p, q, mi, co, xi, d, cp, h, data.E)
+    return Ki, _gii_from_conn(mi, connA, connB, data.stack.max_cp)
+
+
 @partial(jax.jit, static_argnames=("p", "q", "nb", "n_ir"))
 def _jit_dir_mi(data, mi, co, ss, L, invs, dscale, cp, h, xi, d, r,
                 *, p, q, nb, n_ir):
@@ -295,6 +438,17 @@ class PersistentDeviceFactorMI:
         self.nonconverged = False
         self.refactor_log = []
         self.cert_log = []   # (tag, n_ir, ratio) per IR attempt
+        # Woodbury seam-correction state (see the kernel block above):
+        # compact seam dof subspace + per-refactor basis + per-solve V
+        self._M = None        # padded seam-subspace size
+        self._urows = None    # (M,) global dofs, -1 padding
+        self._Uoh = None      # (M, N) one-hot selector
+        self._Ki_ref = None   # interface Hessians at factor state
+        self._gii_ref = None
+        self._W = None        # K_ref^-1 U^T
+        self._G = None        # U W
+        self._V = None        # current applied correction (N, M)
+        self._prep_key = None
 
     # shared measured-contraction IR policy (devicechol)
     from goldfish_tpu.solver.devicechol import PersistentDeviceFactor \
@@ -329,7 +483,79 @@ class PersistentDeviceFactorMI:
         self.n_factor += 1
         self.rho_est = self._RHO0
         self.refactor_log.append((why or "drift", drift))
+        self._wb_snapshot(cp, h, xi, d, K.dtype)
         return True
+
+    def _wb_snapshot(self, cp, h, xi, d, dtype):
+        """Rebuild the Woodbury reference at the fresh factor's state:
+        seam dof subspace (DILATED by one CP index in each parametric
+        direction so single-span knot crossings of seam points stay
+        inside U), K_ref^-1 basis, zero correction."""
+        import numpy as np
+
+        data, mi, co, ss = self.args
+        Ki, gii = _jit_Ki_gii(data, mi, co, ss, cp, h, xi, d,
+                              p=self.p, q=self.q)
+        g_host = np.asarray(gii).reshape(-1)
+        free = np.asarray(data.free).reshape(-1)
+        ur = np.unique(g_host)
+        # dilate: include the +-1 CP-index neighborhood (u and v) of
+        # every support CP — conn shifts by n_v per u-span crossing
+        # and by 1 per v-span crossing
+        Cc = int(data.stack.max_cp)
+        nv = np.asarray(ss.n_v)
+        base, comp = ur // 3, ur % 3
+        p_, c_ = base // Cc, base % Cc
+        nvp = nv[p_]
+        cand = [ur]
+        for du in (-1, 0, 1):
+            for dv in (-1, 0, 1):
+                if du == 0 and dv == 0:
+                    continue
+                cn = c_ + du * nvp + dv
+                ok = (cn >= 0) & (cn < Cc)
+                cand.append((((p_ * Cc + cn) * 3 + comp)[ok]))
+        ur = np.unique(np.concatenate(cand))
+        ur = ur[free[ur] > 0.5]
+        m = len(ur)
+        if self._M is None or m > self._M:
+            self._M = max(256, -(-m // 128) * 128)
+        urows = np.full(self._M, -1, dtype=np.int64)
+        urows[:m] = ur
+        N = free.shape[0]
+        Uoh = np.zeros((self._M, N))
+        Uoh[np.arange(m), ur] = 1.0
+        self._urows = jnp.asarray(urows).astype(gii.dtype)
+        self._Uoh = jnp.asarray(Uoh, dtype=dtype)
+        self._Ki_ref, self._gii_ref = Ki, gii
+        self._W, self._G = _wb_basis(self.dc._L, self.dc._invs,
+                                     self.dc._dscale, self._Uoh,
+                                     nb=self.dc.nb)
+        self._V = jnp.zeros((N, self._M), dtype=dtype)
+        self._prep_key = None
+
+    def prepare(self, cp, h, xi, d):
+        """Per-solve Woodbury update: make the preconditioner track the
+        CURRENT seam position (xi staleness is what breaks IR against
+        the persistent factor — measured rho O(0.3-1) along the warm
+        Newton direction vs ~1e-3 for cp/d staleness). Id-keyed cache:
+        a stale V only degrades the preconditioner (certificates still
+        guarantee accuracy), never correctness."""
+        key = (id(cp), id(xi))
+        if key == self._prep_key or self._ref is None:
+            return
+        data, mi, co, ss = self.args
+        V, same = _wb_prep(data, mi, co, ss, self._Ki_ref,
+                           self._gii_ref, self._urows, self._W,
+                           self._G, cp, h, xi, d, p=self.p, q=self.q)
+        if not bool(same):
+            # a seam point crossed a knot span: its support escaped the
+            # U subspace — refactor at the current state (rare)
+            self.ensure(cp, h, xi, d, force=True, why="conn-escape")
+            self._prep_key = key
+            return
+        self._V = V
+        self._prep_key = key
 
     def direction(self, r):
         return self.dc.solve(r)
@@ -344,10 +570,10 @@ class PersistentDeviceFactorMI:
         refactored = False
         for attempt in range(5):
             n_ir = self._n_for(tol, self.rho_est)
-            delta, ratio, slope = _jit_dir_mi(
+            delta, ratio, slope = _jit_dir_mi_wb(
                 data, mi, co, ss, self.dc._L, self.dc._invs,
-                self.dc._dscale, cp, h, xi, d, r, p=self.p, q=self.q,
-                nb=self.dc.nb, n_ir=n_ir)
+                self.dc._dscale, self._Uoh, self._V, cp, h, xi, d, r,
+                p=self.p, q=self.q, nb=self.dc.nb, n_ir=n_ir)
             self.last_ratio = float(ratio)
             self.cert_log.append(("dir", n_ir, self.last_ratio))
             if self.last_ratio <= tol:
@@ -365,10 +591,10 @@ class PersistentDeviceFactorMI:
         refactored = False
         for attempt in range(5):
             n = self._n_for(tol, self.rho_est) if n_ir is None else n_ir
-            x, ratio = _jvp_ir_solve_mi(
+            x, ratio = _jvp_ir_solve_mi_wb(
                 data, mi, co, ss, self.dc._L, self.dc._invs,
-                self.dc._dscale, cp, h, xi, d, b, p=self.p, q=self.q,
-                nb=self.dc.nb, n_ir=n)
+                self.dc._dscale, self._Uoh, self._V, cp, h, xi, d, b,
+                p=self.p, q=self.q, nb=self.dc.nb, n_ir=n)
             self.last_ratio = float(ratio)
             self.cert_log.append(("exact", n, self.last_ratio))
             if self.last_ratio <= tol:
@@ -438,8 +664,12 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     # stale to precondition). The entry drift check is LOOSE (0.2):
     # it preempts only gross staleness (a cold transient); warm
     # optimizer steps (~1e-3 drift) ride the certificate instead of
-    # paying a ~3x-solve-cost refactor every solve.
+    # paying a ~3x-solve-cost refactor every solve. prepare() then
+    # refreshes the Woodbury seam correction at the CURRENT xi (xi
+    # staleness is the one kind the certificate policy cannot ride:
+    # measured IR rho O(0.3-1) along the warm Newton direction).
     device_fac.ensure(cp, h, xi, d, stale_tol=0.2, why="mi-entry")
+    device_fac.prepare(cp, h, xi, d)
     while (it < max_it and rn > atol and rn > rtol * r_ref):
         # fused direction + certificate + Armijo slope (one dispatch);
         # tol=1e-3 is inexact-Newton forcing — with 3 IR sweeps the
@@ -533,6 +763,7 @@ def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g,
         # loose drift check: exact_solve's certificate guarantees the
         # adjoint grade (1e-6) against a warm-stale factor
         fac.ensure(cp, h, xi, d, stale_tol=0.2, why="mi-adjoint")
+        fac.prepare(cp, h, xi, d)
         lam = fac.exact_solve(cp, h, xi, d, g * data.free) * data.free
         return _jit_res_vjp_mi(data, mi, co, ss, p, q, d, cp, h, xi, lam)
     return _adjoint_solve_mi_direct(data, mi, co, ss, p, q, d, cp, h,

@@ -232,6 +232,35 @@ def _chol_substitute(L, invs, b, nb: int):
     return jax.lax.fori_loop(0, np_, bwd_body, jnp.zeros_like(b))
 
 
+def _chol_substitute_multi(L, invs, B, nb: int):
+    """Forward+backward blocked substitution for a MULTI-RHS matrix
+    B (N, M) (traced body; pure matmuls like _chol_substitute)."""
+    N = L.shape[0]
+    np_ = N // nb
+
+    def fwd_body(k, Y):
+        c0 = k * nb
+        Lrow = jax.lax.dynamic_slice(L, (c0, 0), (nb, N))
+        Bk = jax.lax.dynamic_slice(B, (c0, 0), (nb, B.shape[1]))
+        rhs = Bk - Lrow @ Y
+        Yk = jax.lax.dynamic_slice(invs, (k, 0, 0), (1, nb, nb))[0] @ rhs
+        return jax.lax.dynamic_update_slice(Y, Yk, (c0, 0))
+
+    Y = jax.lax.fori_loop(0, np_, fwd_body, jnp.zeros_like(B))
+
+    def bwd_body(i, X):
+        k = np_ - 1 - i
+        c0 = k * nb
+        Lcol = jax.lax.dynamic_slice(L, (0, c0), (N, nb))
+        Yk = jax.lax.dynamic_slice(Y, (c0, 0), (nb, B.shape[1]))
+        rhs = Yk - Lcol.T @ X
+        Minv = jax.lax.dynamic_slice(invs, (k, 0, 0), (1, nb, nb))[0]
+        Xk = Minv.T @ rhs
+        return jax.lax.dynamic_update_slice(X, Xk, (c0, 0))
+
+    return jax.lax.fori_loop(0, np_, bwd_body, jnp.zeros_like(B))
+
+
 @partial(jax.jit, static_argnames=("nb",))
 def blocked_chol_solve(L, invs, b, nb: int = 256):
     """Solve (L L^T) x = b via blocked forward/back substitution using
@@ -269,6 +298,19 @@ def _pad_to_multiple(K, nb):
     return Kp, N
 
 
+@partial(jax.jit, static_argnames=("nb", "mb", "unrolled"))
+def _equilibrate_pad_factor(K, nb: int, mb: int, unrolled: bool):
+    """Equilibration + padding + blocked factorization fused into ONE
+    program (the eager composition costs ~7 dispatches of ~27 ms axon
+    tunnel latency per refactorization)."""
+    dsc = jax.lax.rsqrt(jnp.abs(jnp.diagonal(K)) + 1e-300)
+    Keq = K * dsc[:, None] * dsc[None, :]
+    Kp, _ = _pad_to_multiple(Keq, nb)
+    fac = blocked_cholesky_unrolled if unrolled else blocked_cholesky
+    L, invs = fac.__wrapped__(Kp, nb=nb, mb=mb)
+    return L, invs, dsc
+
+
 class DeviceCholesky:
     """Host facade: factor once, solve many — the on-TPU f64 direct
     solver (equilibrated SPD systems; cond up to ~1/eps_f64)."""
@@ -283,14 +325,9 @@ class DeviceCholesky:
         self._N = None
 
     def factor(self, K):
-        dsc = jax.lax.rsqrt(jnp.abs(jnp.diagonal(K)) + 1e-300)
-        Keq = K * dsc[:, None] * dsc[None, :]
-        Kp, N = _pad_to_multiple(Keq, self.nb)
-        fac = blocked_cholesky_unrolled if self.unrolled \
-            else blocked_cholesky
-        self._L, self._invs = fac(Kp, nb=self.nb, mb=self.mb)
-        self._dscale = dsc
-        self._N = N
+        self._L, self._invs, self._dscale = _equilibrate_pad_factor(
+            K, self.nb, self.mb, self.unrolled)
+        self._N = K.shape[0]
         return self
 
     def _pad_rhs(self, bn):

@@ -198,3 +198,75 @@ def test_edge_to_edge_intersections_tube():
     fd = (J(s0 + eps) - J(s0 - eps)) / (2 * eps)
     assert abs(float(g - fd)) / abs(float(fd)) < 1e-5, (float(g),
                                                         float(fd))
+
+
+def test_woodbury_seam_correction():
+    """The xi-staleness killer (round-3 hardware finding): after one
+    optimizer-sized design step the persistent factor's IR contraction
+    collapses along the Newton direction (rho O(0.3-1)) because the
+    seam quadrature moved. The Woodbury correction (prepare()) must
+    restore certificate-grade contraction WITHOUT refactoring, and the
+    corrected exact_solve must match a direct solve."""
+    from goldfish_tpu.solver.system_mi import (
+        PersistentDeviceFactorMI,
+        _jit_res_pot_mi,
+        _jvp_ir_solve_mi,
+        _jvp_ir_solve_mi_wb,
+        assemble_K_mi,
+        newton_solve_mi_host,
+    )
+
+    sys = _mi_tbeam(num_el=6, p=3, n_pts=9)
+    data, mi, co, ss = sys.data, sys.mi, sys.co, sys.ss
+    p, q = sys.pdeg, sys.qdeg
+    h = sys.h_init
+    m = sys.metas[1]
+    gv = sys.surfs[1].greville_points(1)
+    bend = jnp.asarray(np.tile(np.sin(np.pi * gv)[None, :],
+                               (m.n_u, 1)).ravel())
+
+    def make_cp(amp):
+        return sys.cp.at[1, : m.n_cp, 0].add(amp * bend)
+
+    cp0 = make_cp(0.05)
+    xi0 = sys.c2x.solve(cp0)
+    fac = PersistentDeviceFactorMI(data, mi, co, ss, p, q)
+    d0, _, _ = newton_solve_mi_host(data, mi, co, ss, p, q, cp0, h,
+                                    xi0, sys.zero_displacement(),
+                                    rtol=1e-9, device_fac=fac)
+    fac.ensure(cp0, h, xi0, d0, force=True)
+
+    # one bench-sized design step; solve, then RE-PIN the factor (and
+    # its Woodbury reference) at the OLD state to make it stale
+    cp1 = make_cp(0.05 * 1.01)
+    xi1 = sys.c2x.solve(cp1, xi0)
+    d1, _, _ = newton_solve_mi_host(data, mi, co, ss, p, q, cp1, h,
+                                    xi1, d0, rtol=1e-9, device_fac=fac)
+    fac.ensure(cp0, h, xi0, d0, force=True)
+
+    r1, _, _ = _jit_res_pot_mi(data, mi, co, ss, p, q, cp1, h, xi1, d1)
+    b = -r1
+    _, ratio_plain = _jvp_ir_solve_mi(
+        data, mi, co, ss, fac.dc._L, fac.dc._invs, fac.dc._dscale,
+        cp1, h, xi1, d1, b, p=p, q=q, nb=fac.dc.nb, n_ir=2)
+
+    nf = fac.n_factor
+    fac.prepare(cp1, h, xi1, d1)
+    assert fac.n_factor == nf, "prepare must not refactor here"
+    x_wb, ratio_wb = _jvp_ir_solve_mi_wb(
+        data, mi, co, ss, fac.dc._L, fac.dc._invs, fac.dc._dscale,
+        fac._Uoh, fac._V, cp1, h, xi1, d1, b,
+        p=p, q=q, nb=fac.dc.nb, n_ir=2)
+    # correction restores certificate-grade contraction on the stale
+    # factor and beats the uncorrected solve by orders of magnitude
+    assert float(ratio_wb) < 1e-4, float(ratio_wb)
+    assert float(ratio_wb) < 1e-2 * float(ratio_plain), (
+        float(ratio_wb), float(ratio_plain))
+
+    # corrected exact_solve agrees with a direct dense solve
+    lam_wb = fac.exact_solve(cp1, h, xi1, d1, b)
+    K1 = assemble_K_mi(data, mi, co, ss, p, q, d1, cp1, h, xi1)
+    lam_ref = jnp.linalg.solve(K1, b.reshape(-1)).reshape(b.shape)
+    rel = float(jnp.linalg.norm(lam_wb - lam_ref)
+                / (jnp.linalg.norm(lam_ref) + 1e-300))
+    assert rel < 1e-8, rel

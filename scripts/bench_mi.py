@@ -107,9 +107,16 @@ def main():
     # but pays ~27 ms tunnel latency for every one of the hundreds of
     # small transpose dispatches in the eager backward sweep (+7 s/it
     # measured; scripts/profile_mi.py has the stage budget).
+    from goldfish_tpu.opt.warmstart import SecantWarmStart
+
     mixed = _mode() == "mixed"
     fac = PersistentDeviceFactorMI(data, mi, co, ss, pdeg, qdeg) \
         if mixed else None
+    # secant-extrapolated warm starts (opt/warmstart.py): entry
+    # residuals become second-order in the design step, so warm solves
+    # converge in 0-1 Newton iterations instead of 2
+    ws_d = SecantWarmStart()
+    ws_xi = SecantWarmStart()
     # cross-solve amortization state, exactly as the production
     # build_solve_fn_mi closure maintains it: the residual-floor hint
     # stops warm solves at the floor the previous solve reached
@@ -130,7 +137,8 @@ def main():
 
     def opt_iteration(amp, d0, xi0):
         cp = make_cp(amp)
-        xi = c2x.solve(cp, xi0)
+        xi = c2x.solve(cp, ws_xi.predict(amp, xi0))
+        d0 = ws_d.predict(amp, d0)
         if mixed:
             d, its, rn = newton_solve_mi_host(
                 data, mi, co, ss, pdeg, qdeg, cp, h, xi, d0,
@@ -141,6 +149,8 @@ def main():
         else:
             d, _, _ = newton_solve_mi(data, mi, co, ss, pdeg, qdeg,
                                       cp, h, xi, d0, rtol=1e-9)
+        ws_xi.update(amp, xi)
+        ws_d.update(amp, d)
         J, (g_d, g_cp) = energy_vg(sys_.stack, d, cp, h, sys_.E,
                                    sys_.nu)
         dcp_a, _, dxi_a = adjoint_solve_mi(

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from goldfish_tpu.design.pipeline import CPLayout
+from goldfish_tpu.opt.warmstart import SecantWarmStart
 from goldfish_tpu.solver.implicit import newton_solve
 from goldfish_tpu.solver.linalg import linear_solve
 from goldfish_tpu.solver.system import (
@@ -37,7 +38,8 @@ __all__ = ["DispImOperation"]
 class DispImOperation:
     """Implicit operation R(d; cp, h) = 0 over flat real-dof vectors."""
 
-    def __init__(self, system: NonMatchingSystem, rtol=1e-10, max_it=30):
+    def __init__(self, system: NonMatchingSystem, rtol=1e-10, max_it=30,
+                 warm_start=True):
         self.system = system
         self.data = system.data
         self.layout = CPLayout(system.metas, system.stack.max_cp)
@@ -46,6 +48,12 @@ class DispImOperation:
         self.vec_size = self.layout.n_flat * 3
         self.h_size = self.layout.n_flat
         self._state = None
+        # secant extrapolation of successive converged states across
+        # optimizer iterations (opt/warmstart.py): the role of the
+        # reference keeping `spline_funcs` warm between solves
+        # (GOLDFISH/om_comps/disp_states_comp.py solve_nonlinear),
+        # upgraded to a second-order-accurate entry point
+        self._ws = SecantWarmStart() if warm_start else None
 
         lay = self.layout
 
@@ -102,8 +110,14 @@ class DispImOperation:
 
     def solve_nonlinear(self, cp, h, d0=None):
         d0 = np.zeros(self.vec_size) if d0 is None else d0
+        if self._ws is not None:
+            x = jnp.concatenate([jnp.asarray(cp).ravel(),
+                                 jnp.asarray(h).ravel()])
+            d0 = self._ws.predict(x, jnp.asarray(d0))
         d, it, rn = self._solve(jnp.asarray(cp), jnp.asarray(h),
                                 jnp.asarray(d0))
+        if self._ws is not None:
+            self._ws.update(x, d)
         return np.asarray(d)
 
     def linearize(self, cp, h, d):

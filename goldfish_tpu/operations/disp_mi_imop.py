@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from goldfish_tpu.design.pipeline import CPLayout
+from goldfish_tpu.opt.warmstart import SecantWarmStart
 from goldfish_tpu.solver.system_mi import (
     MINonMatchingSystem,
     adjoint_solve_mi,
@@ -32,16 +33,26 @@ class CPIGA2XiImOperation:
     dR/dxi of the reference's SuperLU becomes a batched dense solve
     inside the jitted adjoint."""
 
-    def __init__(self, mi_system: MINonMatchingSystem):
+    def __init__(self, mi_system: MINonMatchingSystem, warm_start=True):
         self.sys = mi_system
         self.c2x = mi_system.c2x
         self.layout = CPLayout(mi_system.metas, mi_system.stack.max_cp)
         self.xi_size = int(np.prod(self.c2x.xi0_flat.shape))
+        # secant-extrapolated xi warm starts: on TPU a warm xi0 cuts
+        # the host-loop xi Newton from ~20 iterations to 1-3
+        self._ws = SecantWarmStart() if warm_start else None
 
     def solve_nonlinear(self, cp_flat):
         cp = self.layout.to_padded(
             jnp.asarray(cp_flat).reshape(-1, 3))
-        return np.asarray(self.c2x.solve(cp)).ravel()
+        xi0 = None
+        if self._ws is not None:
+            x = jnp.asarray(cp_flat).ravel()
+            xi0 = self._ws.predict(x, None)
+        xi = self.c2x.solve(cp, xi0)
+        if self._ws is not None:
+            self._ws.update(x, xi)
+        return np.asarray(xi).ravel()
 
     def apply_nonlinear(self, cp_flat, xi_flat):
         from goldfish_tpu.geometry.cpiga2xi import _c2x_res
@@ -131,13 +142,14 @@ class DispMintImOperation:
     """Implicit displacement with moving-intersection input xi."""
 
     def __init__(self, mi_system: MINonMatchingSystem, rtol=1e-10,
-                 max_it=30):
+                 max_it=30, warm_start=True):
         self.sys = mi_system
         self.layout = CPLayout(mi_system.metas, mi_system.stack.max_cp)
         self.rtol = rtol
         self.max_it = max_it
         self.vec_size = self.layout.n_flat * 3
         self._state = None
+        self._ws = SecantWarmStart() if warm_start else None
 
     def _unpack(self, cp_f, h_f, d_f, xi_f):
         lay = self.layout
@@ -148,11 +160,18 @@ class DispMintImOperation:
 
     def solve_nonlinear(self, cp_f, h_f, xi_f, d0_f=None):
         d0_f = np.zeros(self.vec_size) if d0_f is None else d0_f
+        if self._ws is not None:
+            x = jnp.concatenate([jnp.asarray(cp_f).ravel(),
+                                 jnp.asarray(h_f).ravel(),
+                                 jnp.asarray(xi_f).ravel()])
+            d0_f = self._ws.predict(x, jnp.asarray(d0_f))
         cp, h, d0, xi = self._unpack(cp_f, h_f, d0_f, xi_f)
         s = self.sys
         d, it, rn = newton_solve_mi(s.data, s.mi, s.co, s.ss, s.pdeg,
                                     s.qdeg, cp, h, xi, d0,
                                     rtol=self.rtol, max_it=self.max_it)
+        if self._ws is not None:
+            self._ws.update(x, self.layout.to_flat(d).ravel())
         return np.asarray(self.layout.to_flat(d)).ravel()
 
     def apply_nonlinear(self, cp_f, h_f, xi_f, d_f):

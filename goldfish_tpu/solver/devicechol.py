@@ -151,6 +151,38 @@ def _jvp_ir_solve(data: SystemData, L, invs, dscale, cp, h, d, b,
     return x, ratio
 
 
+@partial(jax.jit, static_argnames=("nb", "n_ir"))
+def _jvp_ir_solve_seeded(data: SystemData, L, invs, dscale, cp, h, d,
+                         b, x0, nb: int, n_ir: int):
+    """`_jvp_ir_solve` seeded with an initial guess x0 (e.g. the
+    secant-extrapolated adjoint of the previous optimizer iteration):
+    skips the substitution-from-b and needs one fewer sweep for the
+    same certificate, because the entry error is already small. A bad
+    seed only fails the certificate (the caller falls back to the
+    unseeded program) — it cannot corrupt the result."""
+    N = dscale.shape[0]
+    Np = L.shape[0]
+
+    def subst(r):
+        rn = dscale * r.reshape(-1)
+        if Np != N:
+            rn = jnp.concatenate(
+                [rn, jnp.zeros(Np - N, dtype=rn.dtype)])
+        y = _chol_substitute(L, invs, rn, nb)
+        return (dscale * y[:N]).reshape(b.shape)
+
+    def sweep(_, carry):
+        x, _ = carry
+        r = (b - tangent_matvec(data, d, cp, h, x)) * data.free
+        dx = subst(r)
+        return x + dx, jnp.linalg.norm(dx)
+
+    x, last_dx = jax.lax.fori_loop(0, n_ir, sweep,
+                                   (x0, jnp.linalg.norm(x0)))
+    ratio = last_dx / (jnp.linalg.norm(x) + 1e-300)
+    return x, ratio
+
+
 @partial(jax.jit, static_argnames=("nb",))
 def _subst_dir(data: SystemData, L, invs, dscale, r, nb: int):
     """Substitution-only Newton direction + Armijo slope in ONE device
@@ -308,7 +340,7 @@ class PersistentDeviceFactor:
                 refactored = True
         return delta, float(slope)
 
-    def exact_solve(self, cp, h, d, b, n_ir=None, tol=1e-6):
+    def exact_solve(self, cp, h, d, b, n_ir=None, tol=1e-6, x0=None):
         """K(d) x = b via jvp-matvec IR, SELF-VALIDATING: if the
         in-program convergence certificate says the sweeps did not
         contract to `tol` (factor too stale for IR), grow the sweep
@@ -316,7 +348,26 @@ class PersistentDeviceFactor:
         state and redo. If the certificate STILL fails after a fresh
         factor, the failure is made visible (warning + `nonconverged`
         flag) rather than silently propagating an inaccurate solve
-        into adjoint gradients."""
+        into adjoint gradients.
+
+        `x0` (optional): warm seed for the solution (the previous
+        optimizer iteration's adjoint, secant-extrapolated). A good
+        seed passes the certificate with one fewer sweep; a bad seed
+        fails it and the solve falls back to the unseeded program —
+        exactness never depends on seed quality."""
+        if x0 is not None:
+            n = max(1, self._n_for(tol, self.rho_est) - 1)
+            x, ratio = _jvp_ir_solve_seeded(
+                self.data, self.dc._L, self.dc._invs, self.dc._dscale,
+                cp, h, d, b, x0, nb=self.dc.nb, n_ir=n)
+            r = float(ratio)
+            self.cert_log.append(("exact-x0", n, r))
+            if r <= tol:
+                # the seeded ratio conflates seed error with the IR
+                # contraction — don't update rho_est from it
+                self.last_ratio = r
+                return x
+            # bad seed or stale factor: fall through unseeded
         refactored = False
         for attempt in range(5):
             n = self._n_for(tol, self.rho_est) if n_ir is None else n_ir

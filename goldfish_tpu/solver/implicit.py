@@ -403,7 +403,7 @@ def _adjoint_solve_direct(data: SystemData, d, cp, h, g):
 
 
 def adjoint_solve(data: SystemData, d, cp, h, g, host_fac=None,
-                  device_fac=None):
+                  device_fac=None, lam_ws=None):
     """Implicit-function adjoint: K lam = g, then (dcp, dh) = -lam^T
     dR/d(cp, h). All kernels take their arrays as jit ARGUMENTS (axon
     f64 closure-constant bug); on TPU the stages run as separate small
@@ -424,7 +424,18 @@ def adjoint_solve(data: SystemData, d, cp, h, g, host_fac=None,
             # loose drift check: exact_solve's certificate guarantees
             # the adjoint grade against a warm-stale factor
             fac.ensure(cp, h, d, stale_tol=0.2, why="adjoint")
-            lam = fac.exact_solve(cp, h, d, g * data.free) * data.free
+            x0 = None
+            if lam_ws is not None:
+                # seed with the secant-extrapolated previous adjoint
+                # (key = everything lam depends on); a bad seed only
+                # fails the certificate and falls back unseeded
+                key = jnp.concatenate([cp.ravel(), h.ravel(),
+                                       g.ravel()])
+                x0 = lam_ws.predict(key, None)
+            lam = fac.exact_solve(cp, h, d, g * data.free,
+                                  x0=x0) * data.free
+            if lam_ws is not None:
+                lam_ws.update(key, lam)
             return _jit_residual_vjp(data, d, cp, h, lam)
         blocks = _jit_blocks(data, cp, h, d)
         if hostsolve.enabled():
@@ -462,9 +473,13 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
 
     pdf = None
     phf = None
+    lam_ws = None
     if mode() == "mixed":
         if devicechol.enabled():
+            from goldfish_tpu.opt.warmstart import SecantWarmStart
+
             pdf = devicechol.PersistentDeviceFactor(data)
+            lam_ws = SecantWarmStart()
         elif hostsolve.enabled():
             phf = hostsolve.PersistentHostFactor(data)
     # adaptive floor hint: warm-started solves stop as soon as they
@@ -497,7 +512,7 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
     def bwd(res, g):
         d, cp, h = res
         dcp, dh = adjoint_solve(data, d, cp, h, g, host_fac=phf,
-                                device_fac=pdf)
+                                device_fac=pdf, lam_ws=lam_ws)
         return dcp, dh, jnp.zeros_like(d)
 
     solve.defvjp(fwd, bwd)
@@ -520,9 +535,13 @@ def build_field_solve_fn(data: SystemData, rtol=1e-9, atol=1e-14,
 
     pdf = None
     phf = None
+    lam_ws = None
     if mode() == "mixed":
         if devicechol.enabled():
+            from goldfish_tpu.opt.warmstart import SecantWarmStart
+
             pdf = devicechol.PersistentDeviceFactor(data)
+            lam_ws = SecantWarmStart()
         elif hostsolve.enabled():
             phf = hostsolve.PersistentHostFactor(data)
     floor_hint = [atol]
@@ -554,7 +573,15 @@ def build_field_solve_fn(data: SystemData, rtol=1e-9, atol=1e-14,
             # a dead areal field is linear in d, so the tangent K is
             # identical; only dR/df in the vjp below needs data_f
             pdf.ensure(cp, h, d, stale_tol=0.2, why="field-adjoint")
-            lam = pdf.exact_solve(cp, h, d, g * data.free) * data.free
+            x0 = None
+            if lam_ws is not None:
+                key = jnp.concatenate([cp.ravel(), h.ravel(),
+                                       f.ravel(), g.ravel()])
+                x0 = lam_ws.predict(key, None)
+            lam = pdf.exact_solve(cp, h, d, g * data.free,
+                                  x0=x0) * data.free
+            if lam_ws is not None:
+                lam_ws.update(key, lam)
         else:
             K = assemble_K(data_f, d, cp, h)
             lam = linear_solve(

@@ -57,3 +57,37 @@ def test_padding_path():
     x = np.asarray(dc.solve(jnp.asarray(b)))
     res = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
     assert res < 1e-10, res
+
+
+def test_persistent_factor_seeded_exact_solve():
+    """exact_solve(x0=...): a good seed (previous adjoint) passes the
+    certificate with one fewer sweep; a garbage seed falls back to the
+    unseeded program and still returns the exact solution."""
+    from goldfish_tpu.solver.devicechol import PersistentDeviceFactor
+
+    sys = plate.build(num_el=3, p=2, num_patches=3)
+    d0 = sys.zero_displacement()
+    fac = PersistentDeviceFactor(sys.data, nb=128)
+    fac.ensure(sys.cp, sys.h_init, d0)
+
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.normal(size=np.asarray(d0).shape)) * sys.data.free
+    x_ref = fac.exact_solve(sys.cp, sys.h_init, d0, b)
+
+    # good seed: exact solution + 1e-3 relative noise
+    noise = jnp.asarray(rng.normal(size=np.asarray(d0).shape))
+    x0 = x_ref + 1e-3 * jnp.linalg.norm(x_ref) / jnp.linalg.norm(noise) \
+        * noise * sys.data.free
+    n_cert = len(fac.cert_log)
+    x_seeded = fac.exact_solve(sys.cp, sys.h_init, d0, b, x0=x0)
+    assert fac.cert_log[n_cert][0] == "exact-x0"
+    rel = float(jnp.linalg.norm(x_seeded - x_ref)
+                / jnp.linalg.norm(x_ref))
+    assert rel < 1e-6, rel
+
+    # garbage seed: certificate rejects it, unseeded fallback solves
+    x_bad = fac.exact_solve(sys.cp, sys.h_init, d0, b,
+                            x0=1e6 * noise * sys.data.free)
+    rel = float(jnp.linalg.norm(x_bad - x_ref) / jnp.linalg.norm(x_ref))
+    assert rel < 1e-6, rel
+    assert not fac.nonconverged

@@ -359,6 +359,46 @@ def _jvp_ir_solve_mi_wb(data, mi, co, ss, L, invs, dscale, Uoh, V, cp,
 
 
 @partial(jax.jit, static_argnames=("p", "q", "nb", "n_ir"))
+def _jvp_ir_solve_mi_wb_seeded(data, mi, co, ss, L, invs, dscale, Uoh,
+                               V, cp, h, xi, d, b, x0, *, p, q, nb,
+                               n_ir):
+    """Seeded `_jvp_ir_solve_mi_wb` (see devicechol's seeded variant):
+    starts from x0 (the secant-extrapolated previous adjoint), skipping
+    the substitution-from-b and one sweep. A bad seed only fails the
+    certificate — the caller falls back to the unseeded program."""
+    from goldfish_tpu.solver.tpu_cholesky import _chol_substitute
+
+    N = dscale.shape[0]
+    Np = L.shape[0]
+
+    def subst(r):
+        rn = dscale * r.reshape(-1)
+        if Np != N:
+            rn = jnp.concatenate(
+                [rn, jnp.zeros(Np - N, dtype=rn.dtype)])
+        y = _chol_substitute(L, invs, rn, nb)
+        s = dscale * y[:N]
+        s = s - V @ (Uoh @ s)
+        return s.reshape(b.shape)
+
+    def matvec(v):
+        mv = jax.jvp(lambda dd: residual_mi(data, mi, co, ss, p, q, dd,
+                                            cp, h, xi),
+                     (d,), (v * data.free,))[1]
+        return mv * data.free
+
+    def sweep(_, carry):
+        x, _ = carry
+        r = (b - matvec(x)) * data.free
+        dx = subst(r)
+        return x + dx, jnp.linalg.norm(dx)
+
+    x, last_dx = jax.lax.fori_loop(0, n_ir, sweep,
+                                   (x0, jnp.linalg.norm(x0)))
+    return x, last_dx / (jnp.linalg.norm(x) + 1e-300)
+
+
+@partial(jax.jit, static_argnames=("p", "q", "nb", "n_ir"))
 def _jit_dir_mi_wb(data, mi, co, ss, L, invs, dscale, Uoh, V, cp, h,
                    xi, d, r, *, p, q, nb, n_ir):
     """Woodbury-corrected fused Newton direction (see _jit_dir_mi)."""
@@ -586,8 +626,23 @@ class PersistentDeviceFactorMI:
                 refactored = True
         return delta, float(slope)
 
-    def exact_solve(self, cp, h, xi, d, b, n_ir=None, tol=1e-6):
+    def exact_solve(self, cp, h, xi, d, b, n_ir=None, tol=1e-6,
+                    x0=None):
         data, mi, co, ss = self.args
+        if x0 is not None:
+            n = max(1, self._n_for(tol, self.rho_est) - 1)
+            x, ratio = _jvp_ir_solve_mi_wb_seeded(
+                data, mi, co, ss, self.dc._L, self.dc._invs,
+                self.dc._dscale, self._Uoh, self._V, cp, h, xi, d, b,
+                x0, p=self.p, q=self.q, nb=self.dc.nb, n_ir=n)
+            r = float(ratio)
+            self.cert_log.append(("exact-x0", n, r))
+            if r <= tol:
+                # the seeded ratio conflates seed error with the IR
+                # contraction — don't update rho_est from it
+                self.last_ratio = r
+                return x
+            # bad seed or stale factor: fall through unseeded
         refactored = False
         for attempt in range(5):
             n = self._n_for(tol, self.rho_est) if n_ir is None else n_ir
@@ -751,10 +806,13 @@ def _adjoint_solve_mi_direct(data, mi, co, ss, p, q, d, cp, h, xi, g):
 
 
 def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g,
-                     device_fac=None):
+                     device_fac=None, lam_ws=None):
     """MI adjoint; on TPU composed from small programs + the amortized
     persistent device factor with self-validating jvp-IR exact solves
-    (axon hazards, CLAUDE.md); direct f64 LU on CPU."""
+    (axon hazards, CLAUDE.md); direct f64 LU on CPU. `lam_ws`
+    (optional SecantWarmStart) seeds the IR solve with the
+    extrapolated previous adjoint — one fewer jvp sweep when good, a
+    certificate-guarded fallback when not."""
     from goldfish_tpu.solver.linalg import mode as _mode
 
     if _mode() == "mixed":
@@ -764,7 +822,15 @@ def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g,
         # adjoint grade (1e-6) against a warm-stale factor
         fac.ensure(cp, h, xi, d, stale_tol=0.2, why="mi-adjoint")
         fac.prepare(cp, h, xi, d)
-        lam = fac.exact_solve(cp, h, xi, d, g * data.free) * data.free
+        x0 = None
+        if lam_ws is not None:
+            key = jnp.concatenate([cp.ravel(), h.ravel(), xi.ravel(),
+                                   g.ravel()])
+            x0 = lam_ws.predict(key, None)
+        lam = fac.exact_solve(cp, h, xi, d, g * data.free,
+                              x0=x0) * data.free
+        if lam_ws is not None:
+            lam_ws.update(key, lam)
         return _jit_res_vjp_mi(data, mi, co, ss, p, q, d, cp, h, xi, lam)
     return _adjoint_solve_mi_direct(data, mi, co, ss, p, q, d, cp, h,
                                     xi, g)
@@ -782,8 +848,13 @@ def build_solve_fn_mi(data, mi, co, ss, p, q, rtol=1e-10, atol=1e-14,
 
     # one persistent device factor shared by forward Newton AND adjoint
     # (amortized across optimizer iterations; solver/devicechol.py)
-    pdf = PersistentDeviceFactorMI(data, mi, co, ss, p, q) \
-        if _mode() == "mixed" else None
+    pdf = None
+    lam_ws = None
+    if _mode() == "mixed":
+        from goldfish_tpu.opt.warmstart import SecantWarmStart
+
+        pdf = PersistentDeviceFactorMI(data, mi, co, ss, p, q)
+        lam_ws = SecantWarmStart()
     floor_hint = [atol]
     shared = {}
 
@@ -808,7 +879,8 @@ def build_solve_fn_mi(data, mi, co, ss, p, q, rtol=1e-10, atol=1e-14,
     def bwd(resids, g):
         d, cp, h, xi = resids
         dcp, dh, dxi = adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h,
-                                        xi, g, device_fac=pdf)
+                                        xi, g, device_fac=pdf,
+                                        lam_ws=lam_ws)
         return dcp, dh, dxi, jnp.zeros_like(d)
 
     solve.defvjp(fwd, bwd)

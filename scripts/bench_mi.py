@@ -117,6 +117,7 @@ def main():
     # converge in 0-1 Newton iterations instead of 2
     ws_d = SecantWarmStart()
     ws_xi = SecantWarmStart()
+    ws_lam = SecantWarmStart()  # seeds the adjoint IR solve
     # cross-solve amortization state, exactly as the production
     # build_solve_fn_mi closure maintains it: the residual-floor hint
     # stops warm solves at the floor the previous solve reached
@@ -155,7 +156,7 @@ def main():
                                    sys_.nu)
         dcp_a, _, dxi_a = adjoint_solve_mi(
             data, mi, co, ss, pdeg, qdeg, d, cp, h, xi, g_d,
-            device_fac=fac)
+            device_fac=fac, lam_ws=ws_lam)
         dcp_xi = _c2x_adjoint(c2x.ss, c2x.mi, cp, xi, dxi_a,
                               p=c2x.p, q=c2x.q)
         g_amp = chain_amp(g_cp + dcp_a + dcp_xi)

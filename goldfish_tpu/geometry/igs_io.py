@@ -1,13 +1,17 @@
-"""IGES (.igs) import: rational B-spline surfaces (entity 128).
+"""IGES (.igs) import/export: rational B-spline surfaces (entity 128)
+and curves (entity 126).
 
 Replaces the reference's pythonOCC path `read_igs_file` +
 `topoface2surface` (reference: demos usage at
 demos_om/thickness_opt/plate/plate_var_th_opt_wint.py:230-233; the
 PENGoLINS helpers wrap OpenCASCADE's IGES processor). Parses the IGES
 file format directly (spec: USPRO/IGES 5.3): fixed 80-column records,
-Start/Global/Directory/Parameter/Terminate sections; only entity type
-128 (rational B-spline surface) is materialized — exactly what the
-shell pipeline consumes. Returns geometry/nurbs.NURBS objects.
+Start/Global/Directory/Parameter/Terminate sections; entity types 128
+(rational B-spline surface) and 126 (rational B-spline curve) are
+materialized — the surfaces are what the shell pipeline consumes,
+the curves carry intersection/trim polylines when a CAD system
+exported them. Returns geometry/nurbs.NURBS objects (curves are NURBS
+with one knot vector).
 """
 
 from __future__ import annotations
@@ -18,7 +22,7 @@ import numpy as np
 
 from goldfish_tpu.geometry.nurbs import NURBS
 
-__all__ = ["read_igs_file", "write_igs_file"]
+__all__ = ["read_igs_file", "read_igs_curves", "write_igs_file"]
 
 
 def _parse_free_format(text: str, pdelim: str, rdelim: str):
@@ -62,8 +66,8 @@ def _num(tok: str) -> float:
     return float(tok.replace("D", "E").replace("d", "e"))
 
 
-def read_igs_file(path: str) -> list[NURBS]:
-    """Parse all type-128 entities into NURBS surfaces."""
+def _parse_entities(path: str):
+    """Yield (etype, parameter tokens) for every directory entity."""
     with open(path, "r", errors="replace") as f:
         raw = f.read().splitlines()
 
@@ -82,7 +86,6 @@ def read_igs_file(path: str) -> list[NURBS]:
     # global section: first two parameters are the delimiters
     gtext = "".join(glob_lines)
     pdelim, rdelim = ",", ";"
-    mm = re.match(r"^(.)(?:.)", gtext)
     if gtext.startswith(","):
         pdelim = ","
         rest = gtext[1:]
@@ -99,7 +102,6 @@ def read_igs_file(path: str) -> list[NURBS]:
         m = re.match(r"^1H(.)", rest)
         if m:
             rdelim = m.group(1)
-    del mm
 
     # directory entries: two 72-col lines each; field 1 = entity type,
     # field 2 = parameter data pointer (1-based P line index)
@@ -120,43 +122,76 @@ def read_igs_file(path: str) -> list[NURBS]:
         pdata[dptr] += line[:64]
 
     # directory back-pointer on P lines is the DE index (odd, 1-based)
-    surfs = []
+    out = []
     for k, (etype, pstart) in enumerate(entities):
-        if etype != 128:
-            continue
         de_index = 2 * k + 1
         text = pdata.get(de_index)
         if text is None:
             continue
-        toks = _parse_free_format(text, pdelim, rdelim)
-        assert int(_num(toks[0])) == 128
-        K1, K2 = int(_num(toks[1])), int(_num(toks[2]))
-        M1, M2 = int(_num(toks[3])), int(_num(toks[4]))
-        # toks[5:10]: PROP1..5 flags (closed/polynomial/periodic)
-        n1, n2 = K1 + 1, K2 + 1      # control point counts
-        nk1 = n1 + M1 + 1            # knot counts
-        nk2 = n2 + M2 + 1
-        i0 = 10
-        S = np.array([_num(t) for t in toks[i0: i0 + nk1]])
-        i0 += nk1
-        T = np.array([_num(t) for t in toks[i0: i0 + nk2]])
-        i0 += nk2
-        W = np.array([_num(t) for t in toks[i0: i0 + n1 * n2]])
-        i0 += n1 * n2
-        P = np.array([_num(t) for t in toks[i0: i0 + 3 * n1 * n2]])
-        i0 += 3 * n1 * n2
-        # IGES orders control points with the FIRST index fastest:
-        # P(i,j), i = 0..K1 inner, j = 0..K2 outer
-        W = W.reshape(n2, n1).T              # -> (n1, n2)
-        P = P.reshape(n2, n1, 3).transpose(1, 0, 2)
-        ctrl = np.concatenate([P * W[..., None], W[..., None]], axis=-1)
-        surfs.append(NURBS([S, T], ctrl))
-    return surfs
+        out.append((etype, _parse_free_format(text, pdelim, rdelim)))
+    return out
 
 
-def write_igs_file(path: str, surfs: list[NURBS], author="goldfish_tpu"):
-    """Write NURBS surfaces as IGES type-128 entities (the reverse of
-    `read_igs_file`; the reference relies on OCC for IGES output —
+def _surface_from_toks(toks) -> NURBS:
+    assert int(_num(toks[0])) == 128
+    K1, K2 = int(_num(toks[1])), int(_num(toks[2]))
+    M1, M2 = int(_num(toks[3])), int(_num(toks[4]))
+    # toks[5:10]: PROP1..5 flags (closed/polynomial/periodic)
+    n1, n2 = K1 + 1, K2 + 1      # control point counts
+    nk1 = n1 + M1 + 1            # knot counts
+    nk2 = n2 + M2 + 1
+    i0 = 10
+    S = np.array([_num(t) for t in toks[i0: i0 + nk1]])
+    i0 += nk1
+    T = np.array([_num(t) for t in toks[i0: i0 + nk2]])
+    i0 += nk2
+    W = np.array([_num(t) for t in toks[i0: i0 + n1 * n2]])
+    i0 += n1 * n2
+    P = np.array([_num(t) for t in toks[i0: i0 + 3 * n1 * n2]])
+    i0 += 3 * n1 * n2
+    # IGES orders control points with the FIRST index fastest:
+    # P(i,j), i = 0..K1 inner, j = 0..K2 outer
+    W = W.reshape(n2, n1).T              # -> (n1, n2)
+    P = P.reshape(n2, n1, 3).transpose(1, 0, 2)
+    ctrl = np.concatenate([P * W[..., None], W[..., None]], axis=-1)
+    return NURBS([S, T], ctrl)
+
+
+def _curve_from_toks(toks) -> NURBS:
+    assert int(_num(toks[0])) == 126
+    K, M = int(_num(toks[1])), int(_num(toks[2]))
+    # toks[3:7]: PROP1..4 (planar/closed/polynomial/periodic)
+    n = K + 1
+    nk = n + M + 1
+    i0 = 7
+    T = np.array([_num(t) for t in toks[i0: i0 + nk]])
+    i0 += nk
+    W = np.array([_num(t) for t in toks[i0: i0 + n]])
+    i0 += n
+    P = np.array([_num(t) for t in toks[i0: i0 + 3 * n]]).reshape(n, 3)
+    ctrl = np.concatenate([P * W[:, None], W[:, None]], axis=-1)
+    return NURBS([T], ctrl)
+
+
+def read_igs_file(path: str) -> list[NURBS]:
+    """Parse all type-128 entities into NURBS surfaces."""
+    return [_surface_from_toks(toks)
+            for etype, toks in _parse_entities(path) if etype == 128]
+
+
+def read_igs_curves(path: str) -> list[NURBS]:
+    """Parse all type-126 entities into NURBS curves (one knot
+    vector, homogeneous control points) — trim/intersection curves a
+    CAD export carries alongside the surfaces."""
+    return [_curve_from_toks(toks)
+            for etype, toks in _parse_entities(path) if etype == 126]
+
+
+def write_igs_file(path: str, surfs: list[NURBS], author="goldfish_tpu",
+                   curves: list[NURBS] | None = None):
+    """Write NURBS surfaces as IGES type-128 entities and (optionally)
+    NURBS curves as type-126 entities (the reverse of `read_igs_file` /
+    `read_igs_curves`; the reference relies on OCC for IGES output —
     reference role: pythonOCC write paths used by the eVTOL workflow,
     SURVEY.md section 2.4). Round-trips exactly with this module's
     reader."""
@@ -164,7 +199,7 @@ def write_igs_file(path: str, surfs: list[NURBS], author="goldfish_tpu"):
     def fmt(x):
         return f"{float(x):.17G}"
 
-    # ---- parameter records (one string per entity) ----
+    # ---- parameter records: (etype, text) per entity ----
     records = []
     for s in surfs:
         n1, n2 = s.shape
@@ -181,7 +216,20 @@ def write_igs_file(path: str, surfs: list[NURBS], author="goldfish_tpu"):
         toks += [fmt(x) for x in P.transpose(1, 0, 2).ravel()]
         toks += [fmt(s.knots[0][0]), fmt(s.knots[0][-1]),
                  fmt(s.knots[1][0]), fmt(s.knots[1][-1])]
-        records.append(",".join(toks) + ";")
+        records.append((128, ",".join(toks) + ";"))
+    for c in (curves or []):
+        (n,) = c.shape
+        (p,) = c.degree
+        W = c.weights
+        P = c.points
+        poly = "1" if np.all(np.abs(W - W.ravel()[0]) <= 1e-14) else "0"
+        toks = ["126", str(n - 1), str(p), "0", "0", poly, "0"]
+        toks += [fmt(x) for x in c.knots[0]]
+        toks += [fmt(x) for x in W.ravel()]
+        toks += [fmt(x) for x in P.ravel()]
+        toks += [fmt(c.knots[0][0]), fmt(c.knots[0][-1]),
+                 "0", "0", "0"]  # param range + (unused) planar normal
+        records.append((126, ",".join(toks) + ";"))
 
     # ---- assemble sections ----
     start = ["goldfish_tpu IGES export".ljust(72) + "S0000001"]
@@ -202,7 +250,7 @@ def write_igs_file(path: str, surfs: list[NURBS], author="goldfish_tpu"):
     dir_lines = []
     par_lines = []
     pline_no = 1
-    for k, rec in enumerate(records):
+    for k, (etype, rec) in enumerate(records):
         de = 2 * k + 1
         chunks = [rec[i:i + 64] for i in range(0, len(rec), 64)]
         pstart = pline_no
@@ -211,9 +259,9 @@ def write_igs_file(path: str, surfs: list[NURBS], author="goldfish_tpu"):
                 ch.ljust(64) + f"{de:8d}".replace(" ", " ")[:8]
                 + f"P{pline_no:07d}")
             pline_no += 1
-        d1 = (f"{128:8d}{pstart:8d}{0:8d}{0:8d}{0:8d}{0:8d}{0:8d}"
+        d1 = (f"{etype:8d}{pstart:8d}{0:8d}{0:8d}{0:8d}{0:8d}{0:8d}"
               f"{0:8d}00000000").ljust(72) + f"D{de:07d}"
-        d2 = (f"{128:8d}{0:8d}{0:8d}{len(chunks):8d}{0:8d}"
+        d2 = (f"{etype:8d}{0:8d}{0:8d}{len(chunks):8d}{0:8d}"
               + " " * 32).ljust(72) + f"D{de + 1:07d}"
         dir_lines.extend([d1, d2])
 

@@ -145,3 +145,32 @@ def test_step_roundtrip_and_refine(tmp_path):
     u = np.linspace(0, 1, 7)
     assert np.allclose(s1.evaluate(u, u), r[1].evaluate(u, u),
                        atol=1e-10)
+
+
+def test_igs_curve_roundtrip(tmp_path):
+    """Type-126 rational B-spline curves: write_igs_file(curves=...) ->
+    read_igs_curves reproduces homogeneous control exactly, mixed in a
+    file that also carries 128 surfaces (IGES 5.3 entity 126)."""
+    from goldfish_tpu.geometry.cadkit import circle, line, ruled
+    from goldfish_tpu.geometry.igs_io import (
+        read_igs_curves,
+        read_igs_file,
+        write_igs_file,
+    )
+
+    arc = circle(radius=2.0, angle=(0.0, np.pi / 2))  # rational
+    seg = line([0, 0, 0], [1, 2, 3])                  # polynomial
+    surf = ruled(line([0, 0, 0], [1, 0, 0]), line([0, 1, 0], [1, 1, 0]))
+    path = str(tmp_path / "mixed.igs")
+    write_igs_file(path, [surf], curves=[arc, seg])
+    back_s = read_igs_file(path)
+    back_c = read_igs_curves(path)
+    assert len(back_s) == 1 and len(back_c) == 2
+    for a, b in zip([arc, seg], back_c):
+        assert np.allclose(a.control, b.control, atol=1e-12)
+        assert np.allclose(a.knots[0], b.knots[0])
+    # evaluated points of the rational arc stay on the circle
+    t = np.linspace(0, 1, 7)
+    pts = back_c[0].evaluate(t)
+    assert np.allclose(np.linalg.norm(pts[:, :2], axis=1), 2.0,
+                       atol=1e-12)

@@ -174,7 +174,25 @@ def _curve_from_toks(toks) -> NURBS:
 
 
 def read_igs_file(path: str) -> list[NURBS]:
-    """Parse all type-128 entities into NURBS surfaces."""
+    """Parse all type-128 entities into NURBS surfaces.
+
+    Type-144 (trimmed surface) wrappers are honored only in their
+    trivial form (N1=0, no inner loops — the whole natural domain,
+    which is all the reference corpus contains: the plate file's six
+    `144,<de>,0,0,0;` entities). A 144 with real trimming raises a
+    warning — the shell pipeline quadratures the full patch domain."""
+    import warnings
+
+    for etype, toks in _parse_entities(path):
+        if etype == 144:
+            n1 = int(_num(toks[2])) if len(toks) > 2 else 0
+            n2 = int(_num(toks[3])) if len(toks) > 3 else 0
+            if n1 != 0 or n2 != 0:
+                warnings.warn(
+                    f"{path}: IGES type-144 entity carries a "
+                    "non-trivial trim (outer/inner boundary curves); "
+                    "trims are ignored — the full surface domain is "
+                    "used.", stacklevel=2)
     return [_surface_from_toks(toks)
             for etype, toks in _parse_entities(path) if etype == 128]
 

@@ -363,9 +363,14 @@ class PersistentDeviceFactor:
             r = float(ratio)
             self.cert_log.append(("exact-x0", n, r))
             if r <= tol:
-                # the seeded ratio conflates seed error with the IR
-                # contraction — don't update rho_est from it
                 self.last_ratio = r
+                # ratio^(1/n) folds the seed error into the contraction
+                # estimate; it may UNDERestimate rho for an excellent
+                # seed, but the certificate-retry loop bounds the
+                # damage and without this update rho_est stays stuck at
+                # its cold pessimistic value and every seeded solve
+                # over-sweeps (measured: n=6 for certs at 1e-15)
+                self.rho_est = max(self._rho(n), self._RHO0)
                 return x
             # bad seed or stale factor: fall through unseeded
         refactored = False

@@ -638,9 +638,11 @@ class PersistentDeviceFactorMI:
             r = float(ratio)
             self.cert_log.append(("exact-x0", n, r))
             if r <= tol:
-                # the seeded ratio conflates seed error with the IR
-                # contraction — don't update rho_est from it
                 self.last_ratio = r
+                # see devicechol.PersistentDeviceFactor.exact_solve:
+                # without this update rho_est stays cold-pessimistic
+                # and every seeded solve over-sweeps
+                self.rho_est = max(self._rho(n), self._RHO0)
                 return x
             # bad seed or stale factor: fall through unseeded
         refactored = False

@@ -17,12 +17,14 @@ with one knot vector).
 from __future__ import annotations
 
 import re
+from typing import NamedTuple
 
 import numpy as np
 
 from goldfish_tpu.geometry.nurbs import NURBS
 
-__all__ = ["read_igs_file", "read_igs_curves", "write_igs_file"]
+__all__ = ["read_igs_file", "read_igs_curves", "read_igs_trimmed",
+           "TrimmedSurface", "write_igs_file"]
 
 
 def _parse_free_format(text: str, pdelim: str, rdelim: str):
@@ -66,8 +68,22 @@ def _num(tok: str) -> float:
     return float(tok.replace("D", "E").replace("d", "e"))
 
 
+def _parse_entities_de(path: str) -> dict:
+    """Parse into {DE index (odd, 1-based): (etype, parameter tokens)}
+    so pointer-carrying entities (102/142/144) can be resolved."""
+    out = {}
+    for de, etype, toks in _parse_entities_raw(path):
+        out[de] = (etype, toks)
+    return out
+
+
 def _parse_entities(path: str):
     """Yield (etype, parameter tokens) for every directory entity."""
+    return [(etype, toks) for _, etype, toks in _parse_entities_raw(path)]
+
+
+def _parse_entities_raw(path: str):
+    """Yield (de_index, etype, parameter tokens) for every entity."""
     with open(path, "r", errors="replace") as f:
         raw = f.read().splitlines()
 
@@ -128,7 +144,8 @@ def _parse_entities(path: str):
         text = pdata.get(de_index)
         if text is None:
             continue
-        out.append((etype, _parse_free_format(text, pdelim, rdelim)))
+        out.append((de_index,
+                    etype, _parse_free_format(text, pdelim, rdelim)))
     return out
 
 
@@ -191,8 +208,9 @@ def read_igs_file(path: str) -> list[NURBS]:
                 warnings.warn(
                     f"{path}: IGES type-144 entity carries a "
                     "non-trivial trim (outer/inner boundary curves); "
-                    "trims are ignored — the full surface domain is "
-                    "used.", stacklevel=2)
+                    "read_igs_file ignores it — use read_igs_trimmed "
+                    "+ build_patch_stack(trims=...) for finite-cell "
+                    "trimmed quadrature.", stacklevel=2)
     return [_surface_from_toks(toks)
             for etype, toks in _parse_entities(path) if etype == 128]
 
@@ -205,21 +223,145 @@ def read_igs_curves(path: str) -> list[NURBS]:
             for etype, toks in _parse_entities(path) if etype == 126]
 
 
+class TrimmedSurface(NamedTuple):
+    """A type-144 trimmed surface: the base NURBS patch plus trim
+    loops as PARAMETER-SPACE curves (x, y of the curve = u, v of the
+    surface; IGES type-142 'curve on parametric surface' convention).
+    outer=None means the natural domain boundary (N1=0)."""
+
+    surf: NURBS
+    outer: list[NURBS] | None
+    inner: list[list[NURBS]]
+
+
+def _resolve_pcurve(de: int, ents: dict) -> list[NURBS]:
+    """Resolve a DE pointer to a list of parameter-space curves:
+    126 (B-spline), 110 (line, as a degree-1 NURBS) or 102
+    (composite — concatenation of its constituents)."""
+    etype, toks = ents[de]
+    if etype == 126:
+        return [_curve_from_toks(toks)]
+    if etype == 110:
+        P = np.array([[_num(t) for t in toks[1:4]],
+                      [_num(t) for t in toks[4:7]]])
+        return [NURBS([np.array([0.0, 0.0, 1.0, 1.0])], P)]
+    if etype == 102:
+        n = int(_num(toks[1]))
+        ptrs = [int(_num(t)) for t in toks[2: 2 + n]]
+        out = []
+        for p in ptrs:
+            out.extend(_resolve_pcurve(p, ents))
+        return out
+    raise ValueError(
+        f"unsupported trim-curve entity type {etype} at DE {de}")
+
+
+def _loop_from_142(de: int, ents: dict) -> list[NURBS] | None:
+    """Resolve a type-142 curve-on-surface to its parameter-space
+    curve list (BPTR). Returns None when only the model-space curve is
+    present (BPTR=0) — recovering (u, v) then needs surface inversion,
+    which this reader does not attempt."""
+    etype, toks = ents[de]
+    assert etype == 142, f"expected 142 at DE {de}, got {etype}"
+    # params: CRTN, SPTR (surface), BPTR (param-space curve), CPTR, PREF
+    bptr = int(_num(toks[3]))
+    if bptr == 0:
+        import warnings
+
+        warnings.warn(
+            f"IGES 142 at DE {de} has no parameter-space curve "
+            "(BPTR=0); the loop is ignored.", stacklevel=3)
+        return None
+    return _resolve_pcurve(bptr, ents)
+
+
+def read_igs_trimmed(path: str) -> list[TrimmedSurface]:
+    """Parse type-144 trimmed surfaces with their trim loops resolved
+    to parameter-space NURBS curves (via 142 -> 102/126/110). Surfaces
+    not wrapped in a 144 are returned untrimmed. The loops feed
+    geometry/trim.apply_trim / build_patch_stack(trims=...) —
+    finite-cell quadrature masking replaces the reference's OCC face
+    handling (reference role: igakit/OCC preprocessing in
+    PENGoLINS, SURVEY.md section 2.4)."""
+    ents = _parse_entities_de(path)
+    out = []
+    wrapped = set()
+    for de in sorted(ents):
+        etype, toks = ents[de]
+        if etype != 144:
+            continue
+        pts = int(_num(toks[1]))
+        n1 = int(_num(toks[2]))
+        n2 = int(_num(toks[3]))
+        pto = int(_num(toks[4])) if len(toks) > 4 else 0
+        ptis = [int(_num(t)) for t in toks[5: 5 + n2]]
+        surf = _surface_from_toks(ents[pts][1])
+        wrapped.add(pts)
+        outer = None
+        if n1 != 0 and pto != 0:
+            outer = _loop_from_142(pto, ents)
+        inner = [lp for lp in (_loop_from_142(p, ents) for p in ptis)
+                 if lp is not None]
+        out.append(TrimmedSurface(surf, outer, inner))
+    for de in sorted(ents):
+        etype, toks = ents[de]
+        if etype == 128 and de not in wrapped:
+            out.append(TrimmedSurface(_surface_from_toks(toks), None, []))
+    return out
+
+
 def write_igs_file(path: str, surfs: list[NURBS], author="goldfish_tpu",
-                   curves: list[NURBS] | None = None):
+                   curves: list[NURBS] | None = None, trims=None):
     """Write NURBS surfaces as IGES type-128 entities and (optionally)
     NURBS curves as type-126 entities (the reverse of `read_igs_file` /
     `read_igs_curves`; the reference relies on OCC for IGES output —
     reference role: pythonOCC write paths used by the eVTOL workflow,
     SURVEY.md section 2.4). Round-trips exactly with this module's
-    reader."""
+    reader.
+
+    trims: optional per-surface list (None entries = untrimmed) of
+    `(outer, inners)` where outer is a list of parameter-space NURBS
+    curves (or None for the natural domain) and inners a list of such
+    loops — emitted as 144 (trimmed surface) + 142 (curve on surface)
+    + 102/126 entities, the inverse of `read_igs_trimmed`."""
 
     def fmt(x):
         return f"{float(x):.17G}"
 
-    # ---- parameter records: (etype, text) per entity ----
+    # ---- parameter records: (etype, text) per entity; add() returns
+    # the record's DE index so pointer entities (102/142/144) can
+    # reference earlier records ----
     records = []
-    for s in surfs:
+
+    def add(etype, toks):
+        records.append((etype, ",".join(toks) + ";"))
+        return 2 * (len(records) - 1) + 1
+
+    def curve_toks(c):
+        (n,) = c.shape
+        (p,) = c.degree
+        W = c.weights
+        P = c.points
+        poly = "1" if np.all(np.abs(W - W.ravel()[0]) <= 1e-14) else "0"
+        toks = ["126", str(n - 1), str(p), "0", "0", poly, "0"]
+        toks += [fmt(x) for x in c.knots[0]]
+        toks += [fmt(x) for x in W.ravel()]
+        toks += [fmt(x) for x in P.ravel()]
+        toks += [fmt(c.knots[0][0]), fmt(c.knots[0][-1]),
+                 "0", "0", "0"]  # param range + (unused) planar normal
+        return toks
+
+    def add_loop(loop, de_s):
+        """Emit one trim loop (list of param-space curves) as
+        126[+102]+142; return the 142's DE."""
+        loop = [loop] if isinstance(loop, NURBS) else list(loop)
+        des = [add(126, curve_toks(c)) for c in loop]
+        de_b = des[0] if len(des) == 1 else add(
+            102, ["102", str(len(des))] + [str(d) for d in des])
+        # CRTN=0 (unspecified), SPTR, BPTR, CPTR=0, PREF=1 (B given)
+        return add(142, ["142", "0", str(de_s), str(de_b), "0", "1"])
+
+    for i, s in enumerate(surfs):
         n1, n2 = s.shape
         p1, p2 = s.degree
         W = s.weights
@@ -234,20 +376,18 @@ def write_igs_file(path: str, surfs: list[NURBS], author="goldfish_tpu",
         toks += [fmt(x) for x in P.transpose(1, 0, 2).ravel()]
         toks += [fmt(s.knots[0][0]), fmt(s.knots[0][-1]),
                  fmt(s.knots[1][0]), fmt(s.knots[1][-1])]
-        records.append((128, ",".join(toks) + ";"))
+        de_s = add(128, toks)
+        tr = trims[i] if trims is not None else None
+        if tr is not None:
+            outer, inners = tr
+            de_o = 0 if outer is None else add_loop(outer, de_s)
+            de_is = [add_loop(lp, de_s) for lp in (inners or [])]
+            add(144, ["144", str(de_s),
+                      "0" if outer is None else "1",
+                      str(len(de_is)), str(de_o)]
+                + [str(d) for d in de_is])
     for c in (curves or []):
-        (n,) = c.shape
-        (p,) = c.degree
-        W = c.weights
-        P = c.points
-        poly = "1" if np.all(np.abs(W - W.ravel()[0]) <= 1e-14) else "0"
-        toks = ["126", str(n - 1), str(p), "0", "0", poly, "0"]
-        toks += [fmt(x) for x in c.knots[0]]
-        toks += [fmt(x) for x in W.ravel()]
-        toks += [fmt(x) for x in P.ravel()]
-        toks += [fmt(c.knots[0][0]), fmt(c.knots[0][-1]),
-                 "0", "0", "0"]  # param range + (unused) planar normal
-        records.append((126, ",".join(toks) + ";"))
+        add(126, curve_toks(c))
 
     # ---- assemble sections ----
     start = ["goldfish_tpu IGES export".ljust(72) + "S0000001"]

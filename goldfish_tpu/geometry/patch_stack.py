@@ -79,19 +79,31 @@ def side_dofs(n_u: int, n_v: int, direction: int, side: int, n_layers: int = 1) 
 
 
 def build_patch_stack(surfs: list[NURBS], nq: int | None = None,
-                      dtype=jnp.float64):
+                      dtype=jnp.float64, trims=None, trim_subdiv: int = 3):
     """Build (PatchStack, [PatchMeta]) from NURBS surfaces.
 
     nq: Gauss points per direction (default degree+1 per patch).
+    trims: optional per-patch trim spec (len P list; None entries =
+    untrimmed): each entry is `(outer, inners)` with loops as accepted
+    by geometry/trim.sample_loop (param-space NURBS curve(s) or (M, 2)
+    polygons; outer may be None for the natural domain). Trimmed
+    patches get a `trim_subdiv`-subdivided rule and finite-cell weight
+    masking (zero weight outside the trim, real geometry kept).
     """
     metas = []
     quads = []
-    for s in surfs:
+    for i, s in enumerate(surfs):
         p, q = s.degree
+        tr = trims[i] if trims is not None else None
         quad = build_patch_quadrature(
             s.knots[0], s.knots[1], p, q, s.weights,
             nq_u=nq or (p + 1), nq_v=nq or (q + 1),
+            subdiv=trim_subdiv if tr is not None else 1,
         )
+        if tr is not None:
+            from goldfish_tpu.geometry.trim import apply_trim
+            outer, inners = tr
+            quad = apply_trim(quad, outer, inners)
         metas.append(PatchMeta(s, quad))
         quads.append(quad)
 

@@ -53,8 +53,16 @@ def build_patch_quadrature(
     weights: np.ndarray,
     nq_u: int | None = None,
     nq_v: int | None = None,
+    subdiv: int = 1,
 ) -> PatchQuadrature:
-    """Tensor-product Gauss quadrature with (p+1)x(q+1) points/element."""
+    """Tensor-product Gauss quadrature with (p+1)x(q+1) points/element.
+
+    subdiv > 1 splits every knot span into subdiv x subdiv sub-cells,
+    each carrying its own Gauss rule as a separate element (static
+    shapes: n_el grows, n_qp stays). Used to sharpen finite-cell
+    trimmed quadrature (geometry/trim.py) — within one span all
+    sub-cells share the span's basis support, so per-element conn
+    uniformity is preserved."""
     nq_u = nq_u or (p + 1)
     nq_v = nq_v or (q + 1)
     spans_u = unique_spans(knots_u, p)
@@ -62,16 +70,24 @@ def build_patch_quadrature(
     gu, wu = gauss_points_1d(nq_u)
     gv, wv = gauss_points_1d(nq_v)
 
+    def _cells(a, b):
+        edges = np.linspace(a, b, subdiv + 1)
+        return zip(edges[:-1], edges[1:])
+
     pts = []
     wts = []
-    for (_, ua, ub) in spans_u:
-        for (_, va, vb) in spans_v:
-            uu = 0.5 * (ua + ub) + 0.5 * (ub - ua) * gu
-            vv = 0.5 * (va + vb) + 0.5 * (vb - va) * gv
-            U, V = np.meshgrid(uu, vv, indexing="ij")
-            W = np.outer(wu, wv) * (0.25 * (ub - ua) * (vb - va))
-            pts.append(np.stack([U.ravel(), V.ravel()], axis=-1))
-            wts.append(W.ravel())
+    for (_, ua0, ub0) in spans_u:
+        for (_, va0, vb0) in spans_v:
+            for ua, ub in _cells(ua0, ub0):
+                for va, vb in _cells(va0, vb0):
+                    uu = 0.5 * (ua + ub) + 0.5 * (ub - ua) * gu
+                    vv = 0.5 * (va + vb) + 0.5 * (vb - va) * gv
+                    U, V = np.meshgrid(uu, vv, indexing="ij")
+                    W = np.outer(wu, wv) * (
+                        0.25 * (ub - ua) * (vb - va))
+                    pts.append(
+                        np.stack([U.ravel(), V.ravel()], axis=-1))
+                    wts.append(W.ravel())
     qpts = np.stack(pts)           # (n_el, n_qp, 2)
     wq = np.stack(wts)             # (n_el, n_qp)
     n_el, n_qp = wq.shape

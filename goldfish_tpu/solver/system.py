@@ -280,6 +280,8 @@ class NonMatchingSystem:
         penalty_coefficient: float = 1.0e3,
         nq: int | None = None,
         dtype=None,
+        trims=None,
+        trim_subdiv: int = 3,
     ):
         from goldfish_tpu.config import solve_dtype
 
@@ -287,7 +289,9 @@ class NonMatchingSystem:
         self.dtype = dtype
         self.surfs = surfs
         self.num_splines = len(surfs)
-        self.stack, self.metas = build_patch_stack(surfs, nq=nq, dtype=dtype)
+        self.stack, self.metas = build_patch_stack(
+            surfs, nq=nq, dtype=dtype, trims=trims,
+            trim_subdiv=trim_subdiv)
         self.specs = specs or []
         self.penalty_coefficient = penalty_coefficient
         self.ifs = build_interfaces(

@@ -1,0 +1,187 @@
+"""Trimmed-surface support: finite-cell quadrature masking + IGES
+144/142/102/126 round-trip.
+
+The reference analyzes untrimmed patches (its IGES corpus wraps
+surfaces in trivial `144,<de>,0,0,0;` entities and delegates real trim
+handling to OpenCASCADE); this build honors trims natively
+(geometry/trim.py, igs_io.read_igs_trimmed)."""
+
+import numpy as np
+import pytest
+
+from goldfish_tpu.geometry.cadkit import bilinear
+from goldfish_tpu.geometry.igs_io import (
+    read_igs_file,
+    read_igs_trimmed,
+    write_igs_file,
+)
+from goldfish_tpu.geometry.nurbs import NURBS
+from goldfish_tpu.geometry.patch_stack import (
+    build_patch_stack,
+    stack_control_points,
+)
+from goldfish_tpu.geometry.trim import (
+    points_in_polygon,
+    sample_loop,
+    trim_mask,
+)
+from goldfish_tpu.physics.kl_shell import internal_energy, volume
+
+
+def _plate(nel=8):
+    s = bilinear([0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0])
+    s = s.elevate(0, 2).elevate(1, 2)
+    r = np.linspace(0, 1, nel + 1)[1:-1]
+    return s.refine(0, r).refine(1, r)
+
+
+def _circle_poly(cx, cy, r, n=512):
+    t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    return np.stack([cx + r * np.cos(t), cy + r * np.sin(t)], axis=-1)
+
+
+def test_points_in_polygon():
+    sq = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    pts = np.array([[0.5, 0.5], [1.5, 0.5], [-0.1, 0.2], [0.99, 0.01],
+                    [0.5, 1.2]])
+    got = points_in_polygon(pts, sq)
+    assert got.tolist() == [True, False, False, True, False]
+    # non-convex: L-shape, notch excluded
+    L = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]],
+                 dtype=float)
+    pts = np.array([[1.5, 0.5], [1.5, 1.5], [0.5, 1.5]])
+    assert points_in_polygon(pts, L).tolist() == [True, False, True]
+
+
+def test_sample_loop_from_curves():
+    """A composite loop of 4 degree-1 NURBS segments samples to the
+    square's perimeter."""
+    corners = [(0.2, 0.2), (0.8, 0.2), (0.8, 0.8), (0.2, 0.8)]
+    segs = []
+    for a, b in zip(corners, corners[1:] + corners[:1]):
+        P = np.array([[a[0], a[1], 0.0], [b[0], b[1], 0.0]])
+        segs.append(NURBS([np.array([0.0, 0.0, 1.0, 1.0])], P))
+    poly = sample_loop(segs)
+    assert poly.shape[1] == 2
+    # every sampled point lies on the square perimeter
+    on_edge = (
+        (np.isclose(poly[:, 0], 0.2) | np.isclose(poly[:, 0], 0.8))
+        & (poly[:, 1] > 0.2 - 1e-12) & (poly[:, 1] < 0.8 + 1e-12)
+    ) | (
+        (np.isclose(poly[:, 1], 0.2) | np.isclose(poly[:, 1], 0.8))
+        & (poly[:, 0] > 0.2 - 1e-12) & (poly[:, 0] < 0.8 + 1e-12)
+    )
+    assert on_edge.all()
+    # mask: center excluded when the square is a hole
+    m = trim_mask(np.array([[0.5, 0.5], [0.1, 0.1]]), None, [segs])
+    assert m.tolist() == [0.0, 1.0]
+
+
+def test_trimmed_area_circular_hole():
+    """Plate with a circular hole: finite-cell masked quadrature
+    integrates the area to O(band width)."""
+    r = 0.25
+    surf = _plate(nel=8)
+    hole = _circle_poly(0.5, 0.5, r)
+    stack, metas = build_patch_stack(
+        [surf], trims=[(None, [hole])], trim_subdiv=4)
+    cp = stack_control_points(metas)
+    h = np.ones((1, cp.shape[1]))
+    area = float(volume(stack, cp, h))
+    exact = 1.0 - np.pi * r**2
+    assert abs(area - exact) / exact < 2e-3
+    # subdiv refinement tightens the estimate
+    stack2, metas2 = build_patch_stack(
+        [surf], trims=[(None, [hole])], trim_subdiv=8)
+    area2 = float(volume(stack2, stack_control_points(metas2), h))
+    assert abs(area2 - exact) <= abs(area - exact)
+
+
+def test_trimmed_outer_loop():
+    """Outer loop restricts the domain: a centered half-size square
+    keeps a quarter of the area."""
+    surf = _plate(nel=6)
+    outer = np.array([[0.25, 0.25], [0.75, 0.25], [0.75, 0.75],
+                      [0.25, 0.75]])
+    stack, metas = build_patch_stack(
+        [surf], trims=[(outer, [])], trim_subdiv=4)
+    cp = stack_control_points(metas)
+    h = np.ones((1, cp.shape[1]))
+    area = float(volume(stack, cp, h))
+    assert abs(area - 0.25) < 1e-12  # loop lies on sub-cell lines
+
+
+def test_trimmed_energy_and_gradient_finite():
+    import jax
+
+    surf = _plate(nel=6)
+    hole = _circle_poly(0.5, 0.5, 0.2)
+    stack, metas = build_patch_stack(
+        [surf], trims=[(None, [hole])], trim_subdiv=3)
+    cp = stack_control_points(metas)
+    h = 0.01 * np.ones((1, cp.shape[1]))
+    E = np.array([1e7])
+    nu = np.array([0.3])
+    rng = np.random.default_rng(0)
+    d = 1e-3 * rng.standard_normal(cp.shape)
+    W = internal_energy(stack, d, cp, h, E, nu)
+    g = jax.grad(lambda dd: internal_energy(stack, dd, cp, h, E, nu))(d)
+    assert np.isfinite(float(W)) and float(W) > 0
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_trimmed_solve_softens_plate():
+    """Equilibrium through NonMatchingSystem on a trimmed patch: a
+    cantilever plate with a central hole deflects MORE than the solid
+    plate under the same load, and the solve stays finite."""
+    from goldfish_tpu.solver.system import NonMatchingSystem
+
+    E, nu, h, q = 1e7, 0.3, 0.05, 1e-4
+    hole = _circle_poly(0.5, 0.5, 0.25)
+    tips = []
+    for trims in (None, [(None, [hole])]):
+        surf = _plate(nel=6)
+        sys = NonMatchingSystem([surf], E, nu, h, trims=trims)
+        sys.add_side_bc(0, direction=0, side=0, n_layers=2)
+        sys.set_dead_load([0, 0, -q])
+        d = sys.solve_nonlinear()
+        tips.append(float(sys.evaluate_displacement(d, 0, [1.0, 0.5])[2]))
+    solid, holed = tips
+    assert np.isfinite(holed) and holed < 0
+    assert abs(holed) > 1.05 * abs(solid)
+
+
+def test_igs_trim_roundtrip(tmp_path):
+    surf = _plate(nel=4)
+    # inner loop: composite of 4 degree-1 param-space curves (exercises
+    # the 102 composite path); a second surface stays untrimmed
+    corners = [(0.3, 0.3), (0.7, 0.3), (0.7, 0.7), (0.3, 0.7)]
+    segs = []
+    for a, b in zip(corners, corners[1:] + corners[:1]):
+        P = np.array([[a[0], a[1], 0.0], [b[0], b[1], 0.0]])
+        segs.append(NURBS([np.array([0.0, 0.0, 1.0, 1.0])], P))
+    outer = _circle_poly(0.5, 0.5, 0.45, n=16)
+    # outer as one closed degree-1 NURBS polyline (single-curve 142)
+    opts = np.concatenate([outer, outer[:1]])
+    n = len(opts)
+    knots = np.concatenate([[0.0], np.linspace(0, 1, n), [1.0]])
+    ocurve = NURBS([knots], np.concatenate(
+        [opts, np.zeros((n, 1))], axis=1))
+    path = str(tmp_path / "trimmed.igs")
+    write_igs_file(path, [surf, _plate(nel=2)],
+                   trims=[([ocurve], [segs]), None])
+    got = read_igs_trimmed(path)
+    assert len(got) == 2
+    ts = got[0]
+    np.testing.assert_allclose(ts.surf.points, surf.points, atol=1e-12)
+    assert ts.outer is not None and len(ts.outer) == 1
+    assert len(ts.inner) == 1 and len(ts.inner[0]) == 4
+    np.testing.assert_allclose(
+        sample_loop(ts.outer), sample_loop([ocurve]), atol=1e-12)
+    np.testing.assert_allclose(
+        sample_loop(ts.inner[0]), sample_loop(segs), atol=1e-12)
+    assert got[1].outer is None and got[1].inner == []
+    # legacy reader warns but still returns both surfaces untrimmed
+    with pytest.warns(UserWarning, match="non-trivial trim"):
+        surfs = read_igs_file(path)
+    assert len(surfs) == 2

@@ -21,6 +21,8 @@ import numpy as np
 from goldfish_tpu.geometry.nurbs import NURBS
 
 __all__ = ["read_step_file", "write_step_file",
+           "read_step_assembly", "write_step_assembly",
+           "transform_surface",
            "reparametrize_surfaces", "refine_surfaces"]
 
 
@@ -243,6 +245,264 @@ def write_step_file(path: str, surfs: list[NURBS],
             f"RATIONAL_B_SPLINE_SURFACE({wtxt})REPRESENTATION_ITEM('')"
             f"SURFACE());")
         eid += 1
+    lines += ["ENDSEC;", "END-ISO-10303-21;"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+# ---------------------------------------------------------------------
+# assemblies: AXIS2_PLACEMENT_3D / ITEM_DEFINED_TRANSFORMATION /
+# REPRESENTATION_RELATIONSHIP_WITH_TRANSFORMATION instancing
+# (reference role: OCC's STEP assembly resolution inside
+# `read_stp_file`; SURVEY.md section 2.4)
+# ---------------------------------------------------------------------
+
+
+def transform_surface(s: NURBS, R: np.ndarray, t: np.ndarray) -> NURBS:
+    """Rigidly place a NURBS surface: points' = R @ p + t (weights
+    unchanged — rigid maps commute with the projective weights)."""
+    P = s.points @ np.asarray(R, dtype=np.float64).T + np.asarray(
+        t, dtype=np.float64)
+    W = s.weights[..., None]
+    return NURBS(list(s.knots), np.concatenate([P * W, W], axis=-1))
+
+
+def _ref(tok) -> int:
+    return int(str(tok).lstrip("#"))
+
+
+def _axis_frame(eid, ents, pts):
+    """AXIS2_PLACEMENT_3D -> (M 3x3, origin): columns of M are the
+    placement's x, y, z axes (z = axis, x = ref_direction orthogonalized
+    against z, y = z cross x; defaults per ISO 10303-42)."""
+    args = _tokenize(ents[eid])
+    origin = pts[_ref(args[1])]
+    z = np.array([0.0, 0.0, 1.0])
+    x = np.array([1.0, 0.0, 0.0])
+    if len(args) > 2 and str(args[2]).startswith("#"):
+        z = _dir_of(_ref(args[2]), ents)
+    if len(args) > 3 and str(args[3]).startswith("#"):
+        x = _dir_of(_ref(args[3]), ents)
+    z = z / np.linalg.norm(z)
+    x = x - np.dot(x, z) * z
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z], axis=1), origin
+
+
+def _dir_of(eid, ents):
+    args = _tokenize(ents[eid])
+    return np.array([float(v) for v in args[1]])
+
+
+def read_step_assembly(path: str) -> list[NURBS]:
+    """All B-spline surfaces of a STEP file with assembly placements
+    APPLIED: ITEM_DEFINED_TRANSFORMATION entities referenced from
+    (SHAPE_)REPRESENTATION_RELATIONSHIP_WITH_TRANSFORMATION records
+    place each child representation's surfaces into its parent frame
+    (composed recursively through nested sub-assemblies). Surfaces not
+    contained in any representation — or in files without relationship
+    records — come through at identity, so this is a strict superset of
+    `read_step_file` output semantics."""
+    with open(path, "r", errors="replace") as f:
+        text = f.read()
+    ents = _split_entities(text)
+
+    pts: dict[int, np.ndarray] = {}
+    for eid, body in ents.items():
+        if body.upper().startswith("CARTESIAN_POINT"):
+            pts[eid] = np.array(
+                [_num(x) for x in _tokenize(body)[1]])
+
+    # surfaces by entity id
+    surf_of: dict[int, NURBS] = {}
+
+    def points_of(ref):
+        return pts[_ref(ref)]
+
+    for eid, body in sorted(ents.items()):
+        up = body.upper()
+        if up.startswith("B_SPLINE_SURFACE_WITH_KNOTS"):
+            surf_of[eid] = _surface_from_args(
+                _tokenize(body), None, points_of)
+        elif up.startswith("(") and "B_SPLINE_SURFACE_WITH_KNOTS" in up:
+            subs = _split_complex(body)
+            base = subs.get("B_SPLINE_SURFACE")
+            wk = subs.get("B_SPLINE_SURFACE_WITH_KNOTS")
+            rat = subs.get("RATIONAL_B_SPLINE_SURFACE")
+            if not (base and wk):
+                continue
+            bargs = _tokenize(base)
+            kargs = _tokenize(wk)
+            wargs = _tokenize(rat)[0] if rat else None
+            args = ["''", bargs[0], bargs[1], bargs[2],
+                    None, None, None, None,
+                    kargs[0], kargs[1], kargs[2], kargs[3]]
+            surf_of[eid] = _surface_from_args(args, wargs, points_of)
+
+    # representations: ids whose type name ends in SHAPE_REPRESENTATION
+    # (plain, ADVANCED_BREP_..., MANIFOLD_SURFACE_..., etc.); surfaces
+    # of a rep = B-spline ids reachable through its reference graph
+    refs_re = re.compile(r"#(\d+)")
+    refs = {eid: [int(x) for x in refs_re.findall(body)]
+            for eid, body in ents.items()}
+
+    def rep_surfaces(rid):
+        seen, stack, out = {rid}, [rid], []
+        while stack:
+            e = stack.pop()
+            if e in surf_of:
+                out.append(e)
+            for r in refs.get(e, ()):
+                if r not in seen and r in ents:
+                    seen.add(r)
+                    stack.append(r)
+        return out
+
+    reps = [eid for eid, body in ents.items()
+            if re.match(r"[A-Z0-9_]*SHAPE_REPRESENTATION\s*\(",
+                        body.upper())]
+
+    # relationships: (REPRESENTATION_RELATIONSHIP('','',#child,#parent)
+    #   REPRESENTATION_RELATIONSHIP_WITH_TRANSFORMATION(#idt)
+    #   SHAPE_REPRESENTATION_RELATIONSHIP())
+    links = []  # (parent_rep, child_rep, R, t)
+    for eid, body in ents.items():
+        up = body.upper()
+        if "REPRESENTATION_RELATIONSHIP_WITH_TRANSFORMATION" not in up:
+            continue
+        if up.startswith("("):
+            subs = _split_complex(body)
+            rr = subs.get("REPRESENTATION_RELATIONSHIP")
+            wt = subs.get(
+                "REPRESENTATION_RELATIONSHIP_WITH_TRANSFORMATION")
+            if not (rr and wt):
+                continue
+            rargs = _tokenize(rr)     # (name, desc, rep1, rep2)
+            child, parent = _ref(rargs[2]), _ref(rargs[3])
+            idt = _ref(_tokenize(wt)[-1])
+        else:
+            # plain SHAPE_REPRESENTATION_RELATIONSHIP_WITH_
+            # TRANSFORMATION(name, desc, rep1, rep2, transformation)
+            rargs = _tokenize(body)
+            child, parent = _ref(rargs[2]), _ref(rargs[3])
+            idt = _ref(rargs[4])
+        targs = _tokenize(ents[idt])
+        M1, o1 = _axis_frame(_ref(targs[2]), ents, pts)
+        M2, o2 = _axis_frame(_ref(targs[3]), ents, pts)
+        # the transformation maps frame 1 onto frame 2:
+        # p' = M2 @ M1^T @ (p - o1) + o2
+        R = M2 @ M1.T
+        t = o2 - R @ o1
+        links.append((parent, child, R, t))
+
+    children = {c for _, c, _, _ in links}
+    out: list[NURBS] = []
+    placed: set[int] = set()
+
+    def place(rid, R, t, depth=0):
+        assert depth < 64, "assembly graph cycle"
+        for sid in rep_surfaces(rid):
+            placed.add(sid)
+            out.append(transform_surface(surf_of[sid], R, t))
+        for parent, child, Rl, tl in links:
+            if parent == rid:
+                place(child, R @ Rl, R @ tl + t, depth + 1)
+
+    for rid in sorted(reps):
+        if rid not in children:
+            place(rid, np.eye(3), np.zeros(3))
+    for sid in sorted(surf_of):
+        if sid not in placed and not any(
+                sid in rep_surfaces(r) for r in reps):
+            out.append(surf_of[sid])
+    return out
+
+
+def write_step_assembly(path: str, parts, instances,
+                        name: str = "goldfish_tpu"):
+    """Write an assembly: `parts` is a list of surface lists; each
+    instance (part_index, R 3x3, t 3) places one part copy. Emits one
+    SHAPE_REPRESENTATION per part, a root assembly representation, and
+    one ITEM_DEFINED_TRANSFORMATION +
+    (REPRESENTATION_RELATIONSHIP ... WITH_TRANSFORMATION) per instance.
+    Round-trips with `read_step_assembly`."""
+    lines = ["ISO-10303-21;", "HEADER;",
+             f"FILE_DESCRIPTION(('{name}'),'2;1');",
+             f"FILE_NAME('{name}.stp','2026-01-01',('{name}'),(''),"
+             "'goldfish_tpu','goldfish_tpu','');",
+             "FILE_SCHEMA(('AUTOMOTIVE_DESIGN'));", "ENDSEC;", "DATA;"]
+    eid = [1]
+
+    def add(body):
+        lines.append(f"#{eid[0]}={body};")
+        eid[0] += 1
+        return eid[0] - 1
+
+    def add_surf(s):
+        n_u, n_v = s.shape
+        p_u, p_v = s.degree
+        P, W = s.points, s.weights
+        grid_refs = []
+        for i in range(n_u):
+            row = []
+            for j in range(n_v):
+                pid = add(f"CARTESIAN_POINT('',({P[i, j, 0]:.17G},"
+                          f"{P[i, j, 1]:.17G},{P[i, j, 2]:.17G}))")
+                row.append(f"#{pid}")
+            grid_refs.append("(" + ",".join(row) + ")")
+        grid = "(" + ",".join(grid_refs) + ")"
+
+        def knot_fields(knots):
+            vals, mults = [], []
+            for k in knots:
+                if vals and abs(k - vals[-1]) < 1e-14:
+                    mults[-1] += 1
+                else:
+                    vals.append(float(k))
+                    mults.append(1)
+            return ("(" + ",".join(str(m) for m in mults) + ")",
+                    "(" + ",".join(f"{v:.17G}" for v in vals) + ")")
+
+        mu, ku = knot_fields(s.knots[0])
+        mv, kv = knot_fields(s.knots[1])
+        wtxt = "(" + ",".join(
+            "(" + ",".join(f"{W[i, j]:.17G}" for j in range(n_v)) + ")"
+            for i in range(n_u)) + ")"
+        return add(
+            f"(BOUNDED_SURFACE()B_SPLINE_SURFACE({p_u},{p_v},{grid},"
+            f".UNSPECIFIED.,.F.,.F.,.F.)"
+            f"B_SPLINE_SURFACE_WITH_KNOTS({mu},{mv},{ku},{kv},"
+            f".UNSPECIFIED.)GEOMETRIC_REPRESENTATION_ITEM()"
+            f"RATIONAL_B_SPLINE_SURFACE({wtxt})REPRESENTATION_ITEM('')"
+            f"SURFACE())")
+
+    def add_axis(R=None, t=(0.0, 0.0, 0.0)):
+        o = add(f"CARTESIAN_POINT('',({t[0]:.17G},{t[1]:.17G},"
+                f"{t[2]:.17G}))")
+        if R is None:
+            return add(f"AXIS2_PLACEMENT_3D('',#{o},$,$)")
+        z, x = np.asarray(R)[:, 2], np.asarray(R)[:, 0]
+        dz = add(f"DIRECTION('',({z[0]:.17G},{z[1]:.17G},{z[2]:.17G}))")
+        dx = add(f"DIRECTION('',({x[0]:.17G},{x[1]:.17G},{x[2]:.17G}))")
+        return add(f"AXIS2_PLACEMENT_3D('',#{o},#{dz},#{dx})")
+
+    part_reps = []
+    for k, surfs in enumerate(parts):
+        sids = [add_surf(s) for s in surfs]
+        items = ",".join(f"#{i}" for i in sids)
+        part_reps.append(
+            add(f"SHAPE_REPRESENTATION('part{k}',({items}),$)"))
+    root = add("SHAPE_REPRESENTATION('assembly',(),$)")
+
+    for k, (pi, R, t) in enumerate(instances):
+        a1 = add_axis()  # identity source frame
+        a2 = add_axis(np.asarray(R, dtype=np.float64),
+                      np.asarray(t, dtype=np.float64))
+        idt = add(f"ITEM_DEFINED_TRANSFORMATION('i{k}','',#{a1},#{a2})")
+        add(f"(REPRESENTATION_RELATIONSHIP('','',#{part_reps[pi]},"
+            f"#{root})REPRESENTATION_RELATIONSHIP_WITH_TRANSFORMATION"
+            f"(#{idt})SHAPE_REPRESENTATION_RELATIONSHIP())")
     lines += ["ENDSEC;", "END-ISO-10303-21;"]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -174,3 +174,67 @@ def test_igs_curve_roundtrip(tmp_path):
     pts = back_c[0].evaluate(t)
     assert np.allclose(np.linalg.norm(pts[:, :2], axis=1), 2.0,
                        atol=1e-12)
+
+
+def test_step_assembly_roundtrip(tmp_path):
+    """STEP assembly instancing: ITEM_DEFINED_TRANSFORMATION +
+    (REPRESENTATION_RELATIONSHIP ... WITH_TRANSFORMATION) placements
+    resolved by read_step_assembly (the role OCC's STEP assembly
+    resolution plays for the reference's read_stp_file)."""
+    from goldfish_tpu.geometry.cadkit import circle, extrude
+    from goldfish_tpu.geometry.step_io import (
+        read_step_assembly,
+        read_step_file,
+        transform_surface,
+        write_step_assembly,
+    )
+    from goldfish_tpu.models import tbeam
+
+    s0 = tbeam.create_surf([[-1, 0, 0], [1, 0, 0], [-1, 4, 0],
+                            [1, 4, 0]], 2, 3, 3)
+    arc = circle(center=[0, 0, 0], radius=1.0, angle=(0.0, 0.5))
+    s1 = extrude(arc, [0.0, 0.0, 2.0])
+
+    th = 0.3
+    Rz = np.array([[np.cos(th), -np.sin(th), 0.0],
+                   [np.sin(th), np.cos(th), 0.0],
+                   [0.0, 0.0, 1.0]])
+    t1 = np.array([5.0, -2.0, 1.0])
+    instances = [(0, np.eye(3), np.zeros(3)),
+                 (0, Rz, t1),
+                 (1, Rz.T, np.array([0.0, 0.0, 7.0]))]
+    path = str(tmp_path / "asm.stp")
+    write_step_assembly(path, [[s0], [s1]], instances)
+
+    got = read_step_assembly(path)
+    assert len(got) == 3
+    exp = [transform_surface([s0, s1][pi], R, t)
+           for pi, R, t in instances]
+    # order: instances of the single root are emitted in link order
+    u = np.linspace(0, 1, 5)
+    matched = set()
+    for e in exp:
+        pe = e.evaluate(u, u)
+        hit = None
+        for j, g in enumerate(got):
+            if j in matched:
+                continue
+            if np.allclose(pe, g.evaluate(u, u), atol=1e-10):
+                hit = j
+                break
+        assert hit is not None, "instance not found in assembly read"
+        matched.add(hit)
+
+    # plain reader still sees the un-instanced master geometry
+    masters = read_step_file(path)
+    assert len(masters) == 2
+
+    # a non-assembly file passes through read_step_assembly unchanged
+    from goldfish_tpu.geometry.step_io import write_step_file
+
+    flat = str(tmp_path / "flat.stp")
+    write_step_file(flat, [s0, s1])
+    same = read_step_assembly(flat)
+    assert len(same) == 2
+    for a, b in zip([s0, s1], same):
+        assert np.allclose(a.control, b.control, atol=1e-12)

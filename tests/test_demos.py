@@ -151,3 +151,16 @@ def test_evtol_mi_demo_converges():
     assert J1 < 0.75 * J0          # large physical improvement
     x = np.asarray(prob["inputs_comp.spar_rib_design"])
     assert abs(x[0] - 0.30) > 0.05  # the spar actually moved
+
+
+@pytest.mark.slow
+def test_plate_hole_trimmed_demo():
+    """Trimmed-patch thickness opt (plate with circular hole):
+    objective decreases and material concentrates at the hole band
+    (Kirsch stress concentration)."""
+    from demos.plate_hole_thickness_opt import main
+
+    res, sys_, th, (near, far) = main(num_el=4, maxiter=5,
+                                      results="", verbose=False)
+    assert res.fun < res.history[0]
+    assert near > 1.05 * far

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.optimize import minimize
 
+from goldfish_tpu.utils.retry import retry_transient
+
 __all__ = ["OptProblem", "OptResult"]
 
 
@@ -177,6 +179,8 @@ class OptProblem:
                     c.scaler * jnp.atleast_1d(c.fn(dvs)))
             return funcs, False
 
+        objfun = retry_transient(objfun)
+
         if self._state0 is not None:
             def raw(x, state):
                 J, new_state = self._obj(self._unflatten(x), state)
@@ -206,6 +210,8 @@ class OptProblem:
                 Jc = np.asarray(con_jacs[c.name](x), dtype=np.float64)
                 out[c.name] = {n: Jc[:, slices[n]] for n in names}
             return out, False
+
+        sens = retry_transient(sens)
 
         prob = pyoptsparse.Optimization("goldfish_tpu", objfun)
         sc = lambda v, s: None if v is None else np.asarray(v) * s
@@ -273,13 +279,19 @@ class OptProblem:
                 J, g = vg(jnp.asarray(x))
                 return float(J), np.asarray(g, dtype=np.float64)
 
+        # survive transient device failures (axon worker restarts):
+        # the evaluations are pure (state commits only on success), so
+        # a retry is an exact re-run (utils/retry.py)
+        f_obj = retry_transient(f_obj)
+
         cons = []
         for c in self._cons:
-            cfn = maybe_jit(lambda x, c=c: c.scaler * jnp.atleast_1d(
-                c.fn(self._unflatten(x))))
-            cjac = maybe_jit(jax.jacrev(
+            cfn = retry_transient(maybe_jit(
                 lambda x, c=c: c.scaler * jnp.atleast_1d(
                     c.fn(self._unflatten(x)))))
+            cjac = retry_transient(maybe_jit(jax.jacrev(
+                lambda x, c=c: c.scaler * jnp.atleast_1d(
+                    c.fn(self._unflatten(x))))))
             if c.equals is not None:
                 t = c.scaler * c.equals
                 cons.append(dict(

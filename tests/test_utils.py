@@ -68,3 +68,43 @@ def test_profiler():
     s = prof.summary()
     assert "stage_a" in s and "2" in s
     assert len(prof.records["stage_a"]) == 2
+
+
+def test_retry_transient():
+    """utils/retry.py: known-transient device errors are retried with
+    backoff; anything else propagates immediately."""
+    import pytest
+
+    from goldfish_tpu.utils.retry import retry_transient
+
+    calls = {"n": 0}
+    sleeps = []
+
+    @retry_transient(retries=2, base_sleep=1.0, sleep=sleeps.append)
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(
+                "UNAVAILABLE: TPU worker process crashed or restarted")
+        return x + 1
+
+    assert flaky(41) == 42
+    assert calls["n"] == 3
+    assert sleeps == [1.0, 2.0]  # exponential backoff
+
+    # exhausted retries -> the transient error propagates
+    calls["n"] = -10
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        flaky(0)
+
+    # non-transient errors are NOT retried
+    boom = {"n": 0}
+
+    @retry_transient(retries=5, sleep=lambda s: None)
+    def broken():
+        boom["n"] += 1
+        raise ValueError("shape mismatch")
+
+    with pytest.raises(ValueError):
+        broken()
+    assert boom["n"] == 1

@@ -72,14 +72,25 @@ def _parse_entities_de(path: str) -> dict:
     """Parse into {DE index (odd, 1-based): (etype, parameter tokens)}
     so pointer-carrying entities (102/142/144) can be resolved."""
     out = {}
-    for de, etype, toks in _parse_entities_raw(path):
+    for de, etype, toks, _status in _parse_entities_raw(path):
         out[de] = (etype, toks)
     return out
 
 
 def _parse_entities(path: str):
     """Yield (etype, parameter tokens) for every directory entity."""
-    return [(etype, toks) for _, etype, toks in _parse_entities_raw(path)]
+    return [(etype, toks)
+            for _, etype, toks, _status in _parse_entities_raw(path)]
+
+
+def _subordinate(status: str) -> int:
+    """Subordinate-entity switch of a DE status field (2nd 2-digit
+    subfield; 01/03 = physically dependent, e.g. trim-structure
+    entities)."""
+    try:
+        return int(status[2:4])
+    except (ValueError, IndexError):
+        return 0
 
 
 def _parse_entities_raw(path: str):
@@ -120,13 +131,16 @@ def _parse_entities_raw(path: str):
             rdelim = m.group(1)
 
     # directory entries: two 72-col lines each; field 1 = entity type,
-    # field 2 = parameter data pointer (1-based P line index)
+    # field 2 = parameter data pointer (1-based P line index), field 9
+    # (cols 65-72 of line 1) = status (blank/subordinate/use/hierarchy
+    # 2-digit subfields)
     entities = []
     for i in range(0, len(dir_lines) - 1, 2):
         l1 = dir_lines[i]
         etype = int(l1[0:8])
         pstart = int(l1[8:16])
-        entities.append((etype, pstart))
+        status = l1[64:72]
+        entities.append((etype, pstart, status))
 
     # parameter section: group lines by their directory back-pointer
     # (cols 66-72 of P lines), concatenating cols 1-64
@@ -139,13 +153,13 @@ def _parse_entities_raw(path: str):
 
     # directory back-pointer on P lines is the DE index (odd, 1-based)
     out = []
-    for k, (etype, pstart) in enumerate(entities):
+    for k, (etype, pstart, status) in enumerate(entities):
         de_index = 2 * k + 1
         text = pdata.get(de_index)
         if text is None:
             continue
-        out.append((de_index,
-                    etype, _parse_free_format(text, pdelim, rdelim)))
+        out.append((de_index, etype,
+                    _parse_free_format(text, pdelim, rdelim), status))
     return out
 
 
@@ -216,11 +230,14 @@ def read_igs_file(path: str) -> list[NURBS]:
 
 
 def read_igs_curves(path: str) -> list[NURBS]:
-    """Parse all type-126 entities into NURBS curves (one knot
-    vector, homogeneous control points) — trim/intersection curves a
-    CAD export carries alongside the surfaces."""
+    """Parse all INDEPENDENT type-126 entities into NURBS curves (one
+    knot vector, homogeneous control points) — trim/intersection
+    curves a CAD export carries alongside the surfaces. Subordinate
+    126s (physically dependent trim-loop constituents, DE status
+    subfield 2) are excluded — those belong to `read_igs_trimmed`."""
     return [_curve_from_toks(toks)
-            for etype, toks in _parse_entities(path) if etype == 126]
+            for _, etype, toks, status in _parse_entities_raw(path)
+            if etype == 126 and _subordinate(status) == 0]
 
 
 class TrimmedSurface(NamedTuple):
@@ -236,8 +253,8 @@ class TrimmedSurface(NamedTuple):
 
 def _resolve_pcurve(de: int, ents: dict) -> list[NURBS]:
     """Resolve a DE pointer to a list of parameter-space curves:
-    126 (B-spline), 110 (line, as a degree-1 NURBS) or 102
-    (composite — concatenation of its constituents)."""
+    126 (B-spline), 110 (line), 100 (circular arc, exact rational
+    quadratic) or 102 (composite — concatenation of constituents)."""
     etype, toks = ents[de]
     if etype == 126:
         return [_curve_from_toks(toks)]
@@ -245,6 +262,21 @@ def _resolve_pcurve(de: int, ents: dict) -> list[NURBS]:
         P = np.array([[_num(t) for t in toks[1:4]],
                       [_num(t) for t in toks[4:7]]])
         return [NURBS([np.array([0.0, 0.0, 1.0, 1.0])], P)]
+    if etype == 100:
+        # (ZT, X1, Y1 center, X2, Y2 start, X3, Y3 end), CCW
+        import math
+
+        from goldfish_tpu.geometry.cadkit import circle
+
+        cx, cy = _num(toks[2]), _num(toks[3])
+        sx, sy = _num(toks[4]), _num(toks[5])
+        ex, ey = _num(toks[6]), _num(toks[7])
+        r = math.hypot(sx - cx, sy - cy)
+        t0 = math.atan2(sy - cy, sx - cx)
+        t1 = math.atan2(ey - cy, ex - cx)
+        if t1 <= t0 + 1e-14:
+            t1 += 2.0 * math.pi
+        return [circle(center=(cx, cy, 0.0), radius=r, angle=(t0, t1))]
     if etype == 102:
         n = int(_num(toks[1]))
         ptrs = [int(_num(t)) for t in toks[2: 2 + n]]
@@ -283,30 +315,52 @@ def read_igs_trimmed(path: str) -> list[TrimmedSurface]:
     finite-cell quadrature masking replaces the reference's OCC face
     handling (reference role: igakit/OCC preprocessing in
     PENGoLINS, SURVEY.md section 2.4)."""
+    import warnings
+
     ents = _parse_entities_de(path)
-    out = []
-    wrapped = set()
+    # resolve every 144 first, keyed by its surface's DE so the output
+    # preserves the FILE's surface order (read_igs_file order — BCs,
+    # materials and interface specs are keyed by patch index)
+    trim_by_surf: dict[int, TrimmedSurface] = {}
     for de in sorted(ents):
         etype, toks = ents[de]
         if etype != 144:
             continue
         pts = int(_num(toks[1]))
-        n1 = int(_num(toks[2]))
-        n2 = int(_num(toks[3]))
-        pto = int(_num(toks[4])) if len(toks) > 4 else 0
-        ptis = [int(_num(t)) for t in toks[5: 5 + n2]]
-        surf = _surface_from_toks(ents[pts][1])
-        wrapped.add(pts)
-        outer = None
-        if n1 != 0 and pto != 0:
-            outer = _loop_from_142(pto, ents)
-        inner = [lp for lp in (_loop_from_142(p, ents) for p in ptis)
-                 if lp is not None]
-        out.append(TrimmedSurface(surf, outer, inner))
+        if pts not in ents or ents[pts][0] != 128:
+            warnings.warn(
+                f"{path}: IGES 144 at DE {de} wraps an unsupported "
+                f"surface type "
+                f"{ents[pts][0] if pts in ents else '?'} — skipped.",
+                stacklevel=2)
+            continue
+        try:
+            n1 = int(_num(toks[2]))
+            n2 = int(_num(toks[3]))
+            pto = int(_num(toks[4])) if len(toks) > 4 else 0
+            ptis = [int(_num(t)) for t in toks[5: 5 + n2]]
+            surf = _surface_from_toks(ents[pts][1])
+            outer = None
+            if n1 != 0 and pto != 0:
+                outer = _loop_from_142(pto, ents)
+            inner = [lp for lp in
+                     (_loop_from_142(p, ents) for p in ptis)
+                     if lp is not None]
+            trim_by_surf[pts] = TrimmedSurface(surf, outer, inner)
+        except Exception as e:  # degrade like read_igs_file does
+            warnings.warn(
+                f"{path}: could not resolve the trim of the IGES 144 "
+                f"at DE {de} ({e}); the surface is used UNTRIMMED.",
+                stacklevel=2)
+            trim_by_surf[pts] = TrimmedSurface(
+                _surface_from_toks(ents[pts][1]), None, [])
+    out = []
     for de in sorted(ents):
         etype, toks = ents[de]
-        if etype == 128 and de not in wrapped:
-            out.append(TrimmedSurface(_surface_from_toks(toks), None, []))
+        if etype != 128:
+            continue
+        out.append(trim_by_surf.get(
+            de, TrimmedSurface(_surface_from_toks(toks), None, [])))
     return out
 
 
@@ -328,13 +382,15 @@ def write_igs_file(path: str, surfs: list[NURBS], author="goldfish_tpu",
     def fmt(x):
         return f"{float(x):.17G}"
 
-    # ---- parameter records: (etype, text) per entity; add() returns
-    # the record's DE index so pointer entities (102/142/144) can
-    # reference earlier records ----
+    # ---- parameter records: (etype, text, status) per entity; add()
+    # returns the record's DE index so pointer entities (102/142/144)
+    # can reference earlier records. Trim-structure constituents are
+    # marked physically SUBORDINATE (status subfield 2 = 01) so
+    # read_igs_curves does not mix them into model-curve output ----
     records = []
 
-    def add(etype, toks):
-        records.append((etype, ",".join(toks) + ";"))
+    def add(etype, toks, status="00000000"):
+        records.append((etype, ",".join(toks) + ";", status))
         return 2 * (len(records) - 1) + 1
 
     def curve_toks(c):
@@ -351,15 +407,18 @@ def write_igs_file(path: str, surfs: list[NURBS], author="goldfish_tpu",
                  "0", "0", "0"]  # param range + (unused) planar normal
         return toks
 
+    SUB = "00010500"  # subordinate=01, use=05 (2D parametric)
+
     def add_loop(loop, de_s):
         """Emit one trim loop (list of param-space curves) as
         126[+102]+142; return the 142's DE."""
         loop = [loop] if isinstance(loop, NURBS) else list(loop)
-        des = [add(126, curve_toks(c)) for c in loop]
+        des = [add(126, curve_toks(c), SUB) for c in loop]
         de_b = des[0] if len(des) == 1 else add(
-            102, ["102", str(len(des))] + [str(d) for d in des])
+            102, ["102", str(len(des))] + [str(d) for d in des], SUB)
         # CRTN=0 (unspecified), SPTR, BPTR, CPTR=0, PREF=1 (B given)
-        return add(142, ["142", "0", str(de_s), str(de_b), "0", "1"])
+        return add(142, ["142", "0", str(de_s), str(de_b), "0", "1"],
+                   SUB)
 
     for i, s in enumerate(surfs):
         n1, n2 = s.shape
@@ -408,7 +467,7 @@ def write_igs_file(path: str, surfs: list[NURBS], author="goldfish_tpu",
     dir_lines = []
     par_lines = []
     pline_no = 1
-    for k, (etype, rec) in enumerate(records):
+    for k, (etype, rec, status) in enumerate(records):
         de = 2 * k + 1
         chunks = [rec[i:i + 64] for i in range(0, len(rec), 64)]
         pstart = pline_no
@@ -418,7 +477,7 @@ def write_igs_file(path: str, surfs: list[NURBS], author="goldfish_tpu",
                 + f"P{pline_no:07d}")
             pline_no += 1
         d1 = (f"{etype:8d}{pstart:8d}{0:8d}{0:8d}{0:8d}{0:8d}{0:8d}"
-              f"{0:8d}00000000").ljust(72) + f"D{de:07d}"
+              f"{0:8d}{status}").ljust(72) + f"D{de:07d}"
         d2 = (f"{etype:8d}{0:8d}{0:8d}{len(chunks):8d}{0:8d}"
               + " " * 32).ljust(72) + f"D{de + 1:07d}"
         dir_lines.extend([d1, d2])

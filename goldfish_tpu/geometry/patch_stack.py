@@ -101,9 +101,9 @@ def build_patch_stack(surfs: list[NURBS], nq: int | None = None,
             subdiv=trim_subdiv if tr is not None else 1,
         )
         if tr is not None:
-            from goldfish_tpu.geometry.trim import apply_trim
+            from goldfish_tpu.geometry.trim import apply_trim, compress_voided
             outer, inners = tr
-            quad = apply_trim(quad, outer, inners)
+            quad = compress_voided(apply_trim(quad, outer, inners))
         metas.append(PatchMeta(s, quad))
         quads.append(quad)
 

@@ -113,13 +113,9 @@ def _surface_from_args(args, weights_args, points_of):
     return NURBS([U, V], ctrl)
 
 
-def read_step_file(path: str) -> list[NURBS]:
-    """All B-spline surfaces of a STEP Part-21 file, knots normalized
-    to [0, 1]."""
-    with open(path, "r", errors="replace") as f:
-        text = f.read()
-    ents = _split_entities(text)
-
+def _parse_surfaces(ents):
+    """(cartesian-point dict, {entity id: NURBS}) for every plain or
+    complex (rational) B-spline surface entity."""
     pts: dict[int, np.ndarray] = {}
     for eid, body in ents.items():
         if body.upper().startswith("CARTESIAN_POINT"):
@@ -129,12 +125,12 @@ def read_step_file(path: str) -> list[NURBS]:
     def points_of(ref):
         return pts[int(str(ref).lstrip("#"))]
 
-    surfs = []
+    surf_of: dict[int, NURBS] = {}
     for eid, body in sorted(ents.items()):
         up = body.upper()
         if up.startswith("B_SPLINE_SURFACE_WITH_KNOTS"):
             args = _tokenize(body)
-            surfs.append(_surface_from_args(args, None, points_of))
+            surf_of[eid] = _surface_from_args(args, None, points_of)
         elif up.startswith("(") and "B_SPLINE_SURFACE_WITH_KNOTS" in up:
             # complex (usually rational) entity: sub-records
             # B_SPLINE_SURFACE(deg_u, deg_v, grid, ...) +
@@ -153,8 +149,17 @@ def read_step_file(path: str) -> list[NURBS]:
             args = ["''", bargs[0], bargs[1], bargs[2],
                     None, None, None, None,
                     kargs[0], kargs[1], kargs[2], kargs[3]]
-            surfs.append(_surface_from_args(args, wargs, points_of))
-    return surfs
+            surf_of[eid] = _surface_from_args(args, wargs, points_of)
+    return pts, surf_of
+
+
+def read_step_file(path: str) -> list[NURBS]:
+    """All B-spline surfaces of a STEP Part-21 file, knots normalized
+    to [0, 1]."""
+    with open(path, "r", errors="replace") as f:
+        text = f.read()
+    _, surf_of = _parse_surfaces(_split_entities(text))
+    return [surf_of[k] for k in sorted(surf_of)]
 
 
 def _split_complex(body: str) -> dict[str, str]:
@@ -194,57 +199,70 @@ def _split_complex(body: str) -> dict[str, str]:
     return out
 
 
+def _header_lines(name):
+    return ["ISO-10303-21;", "HEADER;",
+            f"FILE_DESCRIPTION(('{name}'),'2;1');",
+            f"FILE_NAME('{name}.stp','2026-01-01',('{name}'),(''),"
+            "'goldfish_tpu','goldfish_tpu','');",
+            "FILE_SCHEMA(('AUTOMOTIVE_DESIGN'));", "ENDSEC;", "DATA;"]
+
+
+def _emit_surface(add, s: NURBS) -> int:
+    """Emit CARTESIAN_POINT grid + the (rational, complex-entity)
+    B-spline surface record via add(body) -> eid; returns the surface
+    entity id. Shared by write_step_file and write_step_assembly."""
+    n_u, n_v = s.shape
+    p_u, p_v = s.degree
+    P, W = s.points, s.weights
+    grid_refs = []
+    for i in range(n_u):
+        row = []
+        for j in range(n_v):
+            pid = add(f"CARTESIAN_POINT('',({P[i, j, 0]:.17G},"
+                      f"{P[i, j, 1]:.17G},{P[i, j, 2]:.17G}))")
+            row.append(f"#{pid}")
+        grid_refs.append("(" + ",".join(row) + ")")
+    grid = "(" + ",".join(grid_refs) + ")"
+
+    def knot_fields(knots):
+        vals, mults = [], []
+        for k in knots:
+            if vals and abs(k - vals[-1]) < 1e-14:
+                mults[-1] += 1
+            else:
+                vals.append(float(k))
+                mults.append(1)
+        return ("(" + ",".join(str(m) for m in mults) + ")",
+                "(" + ",".join(f"{v:.17G}" for v in vals) + ")")
+
+    mu, ku = knot_fields(s.knots[0])
+    mv, kv = knot_fields(s.knots[1])
+    wtxt = "(" + ",".join(
+        "(" + ",".join(f"{W[i, j]:.17G}" for j in range(n_v)) + ")"
+        for i in range(n_u)) + ")"
+    return add(
+        f"(BOUNDED_SURFACE()B_SPLINE_SURFACE({p_u},{p_v},{grid},"
+        f".UNSPECIFIED.,.F.,.F.,.F.)"
+        f"B_SPLINE_SURFACE_WITH_KNOTS({mu},{mv},{ku},{kv},"
+        f".UNSPECIFIED.)GEOMETRIC_REPRESENTATION_ITEM()"
+        f"RATIONAL_B_SPLINE_SURFACE({wtxt})REPRESENTATION_ITEM('')"
+        f"SURFACE())")
+
+
 def write_step_file(path: str, surfs: list[NURBS],
                     name: str = "goldfish_tpu"):
     """Emit the surfaces as (rational, complex-entity) STEP B-spline
     surfaces. Round-trips with `read_step_file`."""
-    lines = ["ISO-10303-21;", "HEADER;",
-             f"FILE_DESCRIPTION(('{name}'),'2;1');",
-             f"FILE_NAME('{name}.stp','2026-01-01',('{name}'),(''),"
-             "'goldfish_tpu','goldfish_tpu','');",
-             "FILE_SCHEMA(('AUTOMOTIVE_DESIGN'));", "ENDSEC;", "DATA;"]
-    eid = 1
+    lines = _header_lines(name)
+    eid = [1]
+
+    def add(body):
+        lines.append(f"#{eid[0]}={body};")
+        eid[0] += 1
+        return eid[0] - 1
+
     for s in surfs:
-        n_u, n_v = s.shape
-        p_u, p_v = s.degree
-        P = s.points
-        W = s.weights
-        grid_refs = []
-        for i in range(n_u):
-            row = []
-            for j in range(n_v):
-                lines.append(
-                    f"#{eid}=CARTESIAN_POINT('',({P[i, j, 0]:.17G},"
-                    f"{P[i, j, 1]:.17G},{P[i, j, 2]:.17G}));")
-                row.append(f"#{eid}")
-                eid += 1
-            grid_refs.append("(" + ",".join(row) + ")")
-        grid = "(" + ",".join(grid_refs) + ")"
-
-        def knot_fields(knots):
-            vals, mults = [], []
-            for k in knots:
-                if vals and abs(k - vals[-1]) < 1e-14:
-                    mults[-1] += 1
-                else:
-                    vals.append(float(k))
-                    mults.append(1)
-            return ("(" + ",".join(str(m) for m in mults) + ")",
-                    "(" + ",".join(f"{v:.17G}" for v in vals) + ")")
-
-        mu, ku = knot_fields(s.knots[0])
-        mv, kv = knot_fields(s.knots[1])
-        wtxt = "(" + ",".join(
-            "(" + ",".join(f"{W[i, j]:.17G}" for j in range(n_v)) + ")"
-            for i in range(n_u)) + ")"
-        lines.append(
-            f"#{eid}=(BOUNDED_SURFACE()B_SPLINE_SURFACE({p_u},{p_v},"
-            f"{grid},.UNSPECIFIED.,.F.,.F.,.F.)"
-            f"B_SPLINE_SURFACE_WITH_KNOTS({mu},{mv},{ku},{kv},"
-            f".UNSPECIFIED.)GEOMETRIC_REPRESENTATION_ITEM()"
-            f"RATIONAL_B_SPLINE_SURFACE({wtxt})REPRESENTATION_ITEM('')"
-            f"SURFACE());")
-        eid += 1
+        _emit_surface(add, s)
     lines += ["ENDSEC;", "END-ISO-10303-21;"]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -285,7 +303,15 @@ def _axis_frame(eid, ents, pts):
         x = _dir_of(_ref(args[3]), ents)
     z = z / np.linalg.norm(z)
     x = x - np.dot(x, z) * z
-    x = x / np.linalg.norm(x)
+    nx = np.linalg.norm(x)
+    if nx < 1e-12:
+        # ref_direction omitted/parallel to the axis: ISO 10303-42
+        # allows any non-parallel default — derive one
+        alt = np.array([0.0, 1.0, 0.0]) if abs(z[0]) > 0.9 \
+            else np.array([1.0, 0.0, 0.0])
+        x = alt - np.dot(alt, z) * z
+        nx = np.linalg.norm(x)
+    x = x / nx
     y = np.cross(z, x)
     return np.stack([x, y, z], axis=1), origin
 
@@ -303,42 +329,20 @@ def read_step_assembly(path: str) -> list[NURBS]:
     (composed recursively through nested sub-assemblies). Surfaces not
     contained in any representation — or in files without relationship
     records — come through at identity, so this is a strict superset of
-    `read_step_file` output semantics."""
+    `read_step_file` output semantics.
+
+    Convention: rep_1 = child (instanced part), rep_2 = parent — the
+    orientation `write_step_assembly` emits and the common CAX-IF
+    usage. Exporters are not uniform here (OCC disambiguates via
+    NEXT_ASSEMBLY_USAGE_OCCURRENCE, which this reader does not
+    consult); with the opposite orientation parts still come through,
+    at identity instead of placed, and a file whose relationships
+    resolve to nothing falls back to the un-instanced masters with a
+    warning."""
     with open(path, "r", errors="replace") as f:
         text = f.read()
     ents = _split_entities(text)
-
-    pts: dict[int, np.ndarray] = {}
-    for eid, body in ents.items():
-        if body.upper().startswith("CARTESIAN_POINT"):
-            pts[eid] = np.array(
-                [_num(x) for x in _tokenize(body)[1]])
-
-    # surfaces by entity id
-    surf_of: dict[int, NURBS] = {}
-
-    def points_of(ref):
-        return pts[_ref(ref)]
-
-    for eid, body in sorted(ents.items()):
-        up = body.upper()
-        if up.startswith("B_SPLINE_SURFACE_WITH_KNOTS"):
-            surf_of[eid] = _surface_from_args(
-                _tokenize(body), None, points_of)
-        elif up.startswith("(") and "B_SPLINE_SURFACE_WITH_KNOTS" in up:
-            subs = _split_complex(body)
-            base = subs.get("B_SPLINE_SURFACE")
-            wk = subs.get("B_SPLINE_SURFACE_WITH_KNOTS")
-            rat = subs.get("RATIONAL_B_SPLINE_SURFACE")
-            if not (base and wk):
-                continue
-            bargs = _tokenize(base)
-            kargs = _tokenize(wk)
-            wargs = _tokenize(rat)[0] if rat else None
-            args = ["''", bargs[0], bargs[1], bargs[2],
-                    None, None, None, None,
-                    kargs[0], kargs[1], kargs[2], kargs[3]]
-            surf_of[eid] = _surface_from_args(args, wargs, points_of)
+    pts, surf_of = _parse_surfaces(ents)
 
     # representations: ids whose type name ends in SHAPE_REPRESENTATION
     # (plain, ADVANCED_BREP_..., MANIFOLD_SURFACE_..., etc.); surfaces
@@ -416,6 +420,18 @@ def read_step_assembly(path: str) -> list[NURBS]:
         if sid not in placed and not any(
                 sid in rep_surfaces(r) for r in reps):
             out.append(surf_of[sid])
+    if not out and surf_of:
+        # pathological relationship graph (e.g. an exporter using the
+        # opposite rep_1/rep_2 orientation AND circularity filtering
+        # dropped everything): never lose geometry — fall back to the
+        # un-instanced masters at identity, loudly
+        import warnings
+
+        warnings.warn(
+            f"{path}: STEP assembly relationships resolved to no "
+            "placed geometry; returning un-instanced surfaces at "
+            "identity.", stacklevel=2)
+        out = [surf_of[k] for k in sorted(surf_of)]
     return out
 
 
@@ -427,55 +443,13 @@ def write_step_assembly(path: str, parts, instances,
     one ITEM_DEFINED_TRANSFORMATION +
     (REPRESENTATION_RELATIONSHIP ... WITH_TRANSFORMATION) per instance.
     Round-trips with `read_step_assembly`."""
-    lines = ["ISO-10303-21;", "HEADER;",
-             f"FILE_DESCRIPTION(('{name}'),'2;1');",
-             f"FILE_NAME('{name}.stp','2026-01-01',('{name}'),(''),"
-             "'goldfish_tpu','goldfish_tpu','');",
-             "FILE_SCHEMA(('AUTOMOTIVE_DESIGN'));", "ENDSEC;", "DATA;"]
+    lines = _header_lines(name)
     eid = [1]
 
     def add(body):
         lines.append(f"#{eid[0]}={body};")
         eid[0] += 1
         return eid[0] - 1
-
-    def add_surf(s):
-        n_u, n_v = s.shape
-        p_u, p_v = s.degree
-        P, W = s.points, s.weights
-        grid_refs = []
-        for i in range(n_u):
-            row = []
-            for j in range(n_v):
-                pid = add(f"CARTESIAN_POINT('',({P[i, j, 0]:.17G},"
-                          f"{P[i, j, 1]:.17G},{P[i, j, 2]:.17G}))")
-                row.append(f"#{pid}")
-            grid_refs.append("(" + ",".join(row) + ")")
-        grid = "(" + ",".join(grid_refs) + ")"
-
-        def knot_fields(knots):
-            vals, mults = [], []
-            for k in knots:
-                if vals and abs(k - vals[-1]) < 1e-14:
-                    mults[-1] += 1
-                else:
-                    vals.append(float(k))
-                    mults.append(1)
-            return ("(" + ",".join(str(m) for m in mults) + ")",
-                    "(" + ",".join(f"{v:.17G}" for v in vals) + ")")
-
-        mu, ku = knot_fields(s.knots[0])
-        mv, kv = knot_fields(s.knots[1])
-        wtxt = "(" + ",".join(
-            "(" + ",".join(f"{W[i, j]:.17G}" for j in range(n_v)) + ")"
-            for i in range(n_u)) + ")"
-        return add(
-            f"(BOUNDED_SURFACE()B_SPLINE_SURFACE({p_u},{p_v},{grid},"
-            f".UNSPECIFIED.,.F.,.F.,.F.)"
-            f"B_SPLINE_SURFACE_WITH_KNOTS({mu},{mv},{ku},{kv},"
-            f".UNSPECIFIED.)GEOMETRIC_REPRESENTATION_ITEM()"
-            f"RATIONAL_B_SPLINE_SURFACE({wtxt})REPRESENTATION_ITEM('')"
-            f"SURFACE())")
 
     def add_axis(R=None, t=(0.0, 0.0, 0.0)):
         o = add(f"CARTESIAN_POINT('',({t[0]:.17G},{t[1]:.17G},"
@@ -489,7 +463,7 @@ def write_step_assembly(path: str, parts, instances,
 
     part_reps = []
     for k, surfs in enumerate(parts):
-        sids = [add_surf(s) for s in surfs]
+        sids = [_emit_surface(add, s) for s in surfs]
         items = ",".join(f"#{i}" for i in sids)
         part_reps.append(
             add(f"SHAPE_REPRESENTATION('part{k}',({items}),$)"))

@@ -103,3 +103,41 @@ def apply_trim(quad, outer=None, inners=()):
 
     m = trim_mask(quad.qpts, outer, inners)
     return replace(quad, wq=quad.wq * m)
+
+
+def compress_voided(quad):
+    """Drop elements whose every quadrature weight was trimmed to zero
+    (they contribute nothing), so a subdivided trimmed patch does not
+    inflate the stack's max_el padding — and with it every OTHER
+    patch's batched tables — by the void fraction."""
+    from dataclasses import replace
+
+    keep = np.asarray(quad.wq).any(axis=1)
+    if keep.all():
+        return quad
+    keep[np.argmax(keep)] |= True  # never drop to zero elements
+    return replace(
+        quad,
+        n_el=int(keep.sum()),
+        conn=quad.conn[keep],
+        wq=quad.wq[keep],
+        R={k: v[keep] for k, v in quad.R.items()},
+        qpts=quad.qpts[keep],
+    )
+
+
+def support_weights(stack) -> np.ndarray:
+    """Total quadrature mass seen by each control point: (P, C) sums
+    of |R00| * wq scattered through conn. A ZERO entry means the CP's
+    entire basis support was trimmed away — its stiffness row is
+    exactly zero and the dof MUST be pinned or the tangent is
+    singular (solver/system.py pins them automatically)."""
+    R00 = np.abs(np.asarray(stack.R00))          # (P, E, Q, L)
+    wq = np.asarray(stack.wq)                    # (P, E, Q)
+    conn = np.asarray(stack.conn)                # (P, E, L)
+    mass = np.einsum("peql,peq->pel", R00, wq)
+    P, C = conn.shape[0], stack.cp_mask.shape[1]
+    out = np.zeros((P, C))
+    for p in range(P):
+        np.add.at(out[p], conn[p].ravel(), mass[p].ravel())
+    return out

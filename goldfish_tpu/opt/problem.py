@@ -286,30 +286,36 @@ class OptProblem:
 
         cons = []
         for c in self._cons:
-            cfn = retry_transient(maybe_jit(
+            _cfn = maybe_jit(lambda x, c=c: c.scaler * jnp.atleast_1d(
+                c.fn(self._unflatten(x))))
+            _cjac = maybe_jit(jax.jacrev(
                 lambda x, c=c: c.scaler * jnp.atleast_1d(
                     c.fn(self._unflatten(x)))))
-            cjac = retry_transient(maybe_jit(jax.jacrev(
-                lambda x, c=c: c.scaler * jnp.atleast_1d(
-                    c.fn(self._unflatten(x))))))
+            # the retry must wrap the device->HOST readback too: on
+            # axon a worker restart surfaces at the blocking transfer
+            # (np.asarray), not at the dispatch
+            cfn = retry_transient(
+                lambda x, f=_cfn: np.asarray(f(jnp.asarray(x))))
+            cjac = retry_transient(
+                lambda x, f=_cjac: np.asarray(f(jnp.asarray(x))))
             if c.equals is not None:
                 t = c.scaler * c.equals
                 cons.append(dict(
                     type="eq",
-                    fun=lambda x, cfn=cfn, t=t: np.asarray(cfn(jnp.asarray(x))) - t,
-                    jac=lambda x, cjac=cjac: np.asarray(cjac(jnp.asarray(x)))))
+                    fun=lambda x, cfn=cfn, t=t: cfn(x) - t,
+                    jac=lambda x, cjac=cjac: cjac(x)))
             if c.lower is not None:
                 t = c.scaler * c.lower
                 cons.append(dict(
                     type="ineq",
-                    fun=lambda x, cfn=cfn, t=t: np.asarray(cfn(jnp.asarray(x))) - t,
-                    jac=lambda x, cjac=cjac: np.asarray(cjac(jnp.asarray(x)))))
+                    fun=lambda x, cfn=cfn, t=t: cfn(x) - t,
+                    jac=lambda x, cjac=cjac: cjac(x)))
             if c.upper is not None:
                 t = c.scaler * c.upper
                 cons.append(dict(
                     type="ineq",
-                    fun=lambda x, cfn=cfn, t=t: t - np.asarray(cfn(jnp.asarray(x))),
-                    jac=lambda x, cjac=cjac: -np.asarray(cjac(jnp.asarray(x)))))
+                    fun=lambda x, cfn=cfn, t=t: t - cfn(x),
+                    jac=lambda x, cjac=cjac: -cjac(x)))
 
         history = []
 

@@ -309,6 +309,14 @@ class NonMatchingSystem:
         self.cp = stack_control_points(self.metas, dtype=dtype)
         self._free = np.array(
             self.stack.cp_mask[..., None] * np.ones(3), dtype=np.float64)
+        if trims is not None:
+            # a CP whose entire basis support was trimmed away has an
+            # exactly-zero stiffness row -> pin it or the tangent is
+            # singular (geometry/trim.support_weights)
+            from goldfish_tpu.geometry.trim import support_weights
+
+            alive = support_weights(self.stack) > 0.0
+            self._free *= alive[..., None]
         self.f_areal = None
         self.point_load_entries = []
         self.edge_load_entries = []

@@ -22,6 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 os.environ.setdefault("GOLDFISH_TPU_X64", "1")
 
 import jax
+
+# the env pre-imports jax with JAX_PLATFORMS=axon (sitecustomize) —
+# request BOTH platforms before backend init or jax.devices("cpu")
+# raises and the host-oracle comparison cannot run (leave cpu-forced
+# runs alone)
+_cur = getattr(jax.config, "jax_platforms", None) or ""
+if "cpu" not in _cur:
+    jax.config.update("jax_platforms", (_cur + ",cpu").lstrip(","))
+
 import jax.numpy as jnp
 import numpy as np
 

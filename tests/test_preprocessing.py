@@ -238,3 +238,20 @@ def test_step_assembly_roundtrip(tmp_path):
     assert len(same) == 2
     for a, b in zip([s0, s1], same):
         assert np.allclose(a.control, b.control, atol=1e-12)
+
+
+def test_step_axis_frame_degenerate_refdir():
+    """AXIS2_PLACEMENT_3D with the axis parallel to the default
+    ref_direction and no explicit ref_direction must not produce a
+    NaN frame (ISO 10303-42 allows deriving any non-parallel
+    default)."""
+    from goldfish_tpu.geometry.step_io import _axis_frame
+
+    ents = {1: "AXIS2_PLACEMENT_3D('',#2,#3,$)",
+            2: "CARTESIAN_POINT('',(1.,2.,3.))",
+            3: "DIRECTION('',(1.,0.,0.))"}
+    pts = {2: np.array([1.0, 2.0, 3.0])}
+    M, o = _axis_frame(1, ents, pts)
+    assert np.all(np.isfinite(M))
+    np.testing.assert_allclose(M @ M.T, np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(M[:, 2], [1.0, 0.0, 0.0], atol=1e-12)

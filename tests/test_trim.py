@@ -168,8 +168,19 @@ def test_igs_trim_roundtrip(tmp_path):
     ocurve = NURBS([knots], np.concatenate(
         [opts, np.zeros((n, 1))], axis=1))
     path = str(tmp_path / "trimmed.igs")
+    # a model-space curve rides along: trim-loop 126s are written
+    # SUBORDINATE and must not leak into read_igs_curves
+    model_curve = NURBS([np.array([0.0, 0.0, 1.0, 1.0])],
+                        np.array([[0.0, 0.0, 0.0], [1.0, 2.0, 3.0]]))
     write_igs_file(path, [surf, _plate(nel=2)],
+                   curves=[model_curve],
                    trims=[([ocurve], [segs]), None])
+    from goldfish_tpu.geometry.igs_io import read_igs_curves
+
+    model_back = read_igs_curves(path)
+    assert len(model_back) == 1
+    np.testing.assert_allclose(model_back[0].points,
+                               model_curve.points, atol=1e-12)
     got = read_igs_trimmed(path)
     assert len(got) == 2
     ts = got[0]
@@ -185,3 +196,62 @@ def test_igs_trim_roundtrip(tmp_path):
     with pytest.warns(UserWarning, match="non-trivial trim"):
         surfs = read_igs_file(path)
     assert len(surfs) == 2
+
+
+def test_zero_support_cps_pinned():
+    """A CP whose entire basis support is trimmed away has a zero
+    stiffness row; NonMatchingSystem must pin it or the tangent is
+    singular (code-review round-3 finding)."""
+    from goldfish_tpu.geometry.trim import support_weights
+    from goldfish_tpu.solver.system import NonMatchingSystem
+
+    # cubic, nel=10: the central CP's 4x4-span support box has corner
+    # distance sqrt(2)*0.2 = 0.283 < 0.3 from the center -> fully
+    # inside the hole
+    surf = _plate(nel=10)
+    hole = _circle_poly(0.5, 0.5, 0.3)
+    sys = NonMatchingSystem([surf], 1e7, 0.3, 0.05,
+                            trims=[(None, [hole])])
+    w = support_weights(sys.stack)
+    n_cp = sys.metas[0].n_cp
+    dead = int((w[0, :n_cp] == 0.0).sum())
+    assert dead > 0, "test geometry should void at least one CP"
+    assert np.all(sys._free[0, :n_cp][w[0, :n_cp] == 0.0] == 0.0)
+    sys.add_side_bc(0, direction=0, side=0, n_layers=2)
+    sys.set_dead_load([0, 0, -1e-4])
+    d = sys.solve_nonlinear()
+    assert np.all(np.isfinite(np.asarray(d)))
+
+
+def test_compress_voided_elements():
+    """Fully-voided sub-cells are dropped so a trimmed patch does not
+    inflate the stack's max_el padding by the void fraction."""
+    from goldfish_tpu.ops.quadrature import build_patch_quadrature
+    from goldfish_tpu.geometry.trim import apply_trim, compress_voided
+
+    s = _plate(nel=8)
+    p, q = s.degree
+    quad = build_patch_quadrature(s.knots[0], s.knots[1], p, q,
+                                  s.weights, subdiv=3)
+    hole = _circle_poly(0.5, 0.5, 0.3)
+    masked = apply_trim(quad, None, [hole])
+    comp = compress_voided(masked)
+    assert comp.n_el < masked.n_el
+    np.testing.assert_allclose(np.sum(comp.wq), np.sum(masked.wq),
+                               rtol=1e-14)
+
+
+def test_igs_arc_trim_entity():
+    """IGES type-100 circular arcs resolve to exact rational arcs in
+    trim loops (the most common CAD trim-curve entity)."""
+    from goldfish_tpu.geometry.igs_io import _resolve_pcurve
+
+    ents = {1: (100, ["100", "0", "0.5", "0.5",
+                      "0.75", "0.5", "0.75", "0.5"])}
+    (c,) = _resolve_pcurve(1, ents)
+    poly = sample_loop([c], n_per_span=32)
+    r = np.linalg.norm(poly - [0.5, 0.5], axis=1)
+    np.testing.assert_allclose(r, 0.25, atol=1e-12)
+    # mask: center inside, far corner outside
+    m = trim_mask(np.array([[0.5, 0.5], [0.05, 0.05]]), [c], [])
+    assert m.tolist() == [1.0, 0.0]

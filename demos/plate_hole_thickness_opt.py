@@ -37,7 +37,9 @@ def build_system(num_el=8, r_hole=0.25, trim_subdiv=4):
     sys_ = NonMatchingSystem([s], 1e7, 0.3, 1e-2,
                              trims=[(None, [hole])],
                              trim_subdiv=trim_subdiv)
-    sys_.add_side_bc(0, direction=0, side=0, n_layers=1)
+    # 2 layers: one layer leaves the rigid rotation about the clamped
+    # edge as an exact zero-energy mode (K singular at d=0)
+    sys_.add_side_bc(0, direction=0, side=0, n_layers=2)
     sys_.add_edge_load(0, direction=0, side=1, force=[20.0, 0.0, 0.0])
     return sys_, hole
 

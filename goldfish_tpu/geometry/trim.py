@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 from goldfish_tpu.geometry.nurbs import NURBS
+from goldfish_tpu.ops.quadrature import gauss_points_1d
 
 __all__ = [
     "sample_loop",
@@ -94,15 +95,118 @@ def trim_mask(qpts: np.ndarray, outer=None, inners=()) -> np.ndarray:
     return mask.astype(np.float64).reshape(np.asarray(qpts).shape[:-1])
 
 
-def apply_trim(quad, outer=None, inners=()):
+def apply_trim(quad, outer=None, inners=(), coverage: int = 8):
     """Return a copy of a PatchQuadrature with weights zeroed outside
     the trimmed region (finite-cell masking). Basis tables, conn and
     qpts are untouched — padded/voided points keep real geometry with
-    zero weight, per the padding discipline."""
+    zero weight, per the padding discipline.
+
+    coverage (default on) additionally RESCALES each cut element's
+    surviving weights so their parametric mass equals the element's
+    EXACT inside area (Sutherland-Hodgman clip of the loop polygons
+    against the cell rectangle + shoelace area): the per-cell area
+    error drops from O(Gauss band) to the loop's polygon chord error,
+    which tightens integrals of smooth densities by 1-2 orders at the
+    same subdiv. Set coverage=0 for pure binary masking."""
     from dataclasses import replace
 
     m = trim_mask(quad.qpts, outer, inners)
-    return replace(quad, wq=quad.wq * m)
+    wq = quad.wq * m
+    if not coverage or (outer is None and not inners):
+        return replace(quad, wq=wq)
+
+    o_poly = None if outer is None else sample_loop(outer)
+    h_polys = [sample_loop(h) for h in (inners or ())]
+    polys = ([] if o_poly is None else [o_poly]) + h_polys
+    boxes = [(p[:, 0].min(), p[:, 0].max(), p[:, 1].min(),
+              p[:, 1].max()) for p in polys]
+    qp = np.asarray(quad.qpts)               # (n_el, n_qp, 2)
+    partial = ~m.all(axis=1)                 # any cell not fully kept
+
+    def cell_bounds(coords):
+        """Exact cell interval from its affine-mapped Gauss abscissae
+        (the Gauss span under-covers the cell by the rule's edge
+        margin)."""
+        u = np.unique(coords)
+        if len(u) < 2:
+            return u[0], u[0]
+        g = gauss_points_1d(len(u))[0]
+        # affine map u = c + 0.5*width*g  =>  width = 2*span/gspan
+        h = 2.0 * (u[-1] - u[0]) / (g[-1] - g[0])
+        c = 0.5 * (u[-1] + u[0])
+        return c - 0.5 * h, c + 0.5 * h
+
+    def touches(box, ua, ub, va, vb):
+        return not (box[1] < ua or box[0] > ub
+                    or box[3] < va or box[2] > vb)
+
+    for e in np.flatnonzero(partial):
+        ua, ub = cell_bounds(qp[e, :, 0])
+        va, vb = cell_bounds(qp[e, :, 1])
+        cell_area = (ub - ua) * (vb - va)
+        if cell_area <= 0.0:
+            continue
+        # cells whose bbox touches no loop are uncut: the Gauss mask
+        # already classified them fully in or out
+        if not any(touches(b, ua, ub, va, vb) for b in boxes):
+            continue
+        center = np.array([[0.5 * (ua + ub), 0.5 * (va + vb)]])
+        if o_poly is None:
+            inside = cell_area
+        else:
+            inside = _clip_area(o_poly, ua, ub, va, vb)
+            if inside == 0.0 and points_in_polygon(center, o_poly)[0]:
+                inside = cell_area  # cell strictly interior to outer
+        for hp in h_polys:
+            a = _clip_area(hp, ua, ub, va, vb)
+            if a == 0.0 and points_in_polygon(center, hp)[0]:
+                a = cell_area
+            inside -= a
+        frac = min(max(inside / cell_area, 0.0), 1.0)
+        if frac < 1e-9:  # clipping roundoff -> genuinely void
+            frac = 0.0
+        mass = float(wq[e].sum())
+        full = float(quad.wq[e].sum())
+        if full <= 0.0:
+            continue
+        if frac == 0.0:
+            # the exact clip overrules stray Gauss survivors
+            wq[e] = np.zeros_like(wq[e])
+        elif mass > 0.0:
+            wq[e] *= frac * full / mass
+        else:
+            # sliver cell: no Gauss point survived but material remains
+            # — integrate it with the smooth (fictitious) extension of
+            # the integrand at the cell's own Gauss points
+            wq[e] = quad.wq[e] * frac
+    return replace(quad, wq=wq)
+
+
+def _clip_area(poly: np.ndarray, ua, ub, va, vb) -> float:
+    """|polygon ∩ [ua,ub]x[va,vb]| via Sutherland-Hodgman + shoelace
+    (sign-insensitive: loops may wind either way)."""
+    pts = poly
+    for axis, bound, keep_ge in ((0, ua, True), (0, ub, False),
+                                 (1, va, True), (1, vb, False)):
+        if len(pts) == 0:
+            return 0.0
+        out = []
+        n = len(pts)
+        for i in range(n):
+            p, q = pts[i], pts[(i + 1) % n]
+            pin = (p[axis] >= bound) if keep_ge else (p[axis] <= bound)
+            qin = (q[axis] >= bound) if keep_ge else (q[axis] <= bound)
+            if pin:
+                out.append(p)
+            if pin != qin:
+                t = (bound - p[axis]) / (q[axis] - p[axis])
+                out.append(p + t * (q - p))
+        pts = np.asarray(out)
+    if len(pts) < 3:
+        return 0.0
+    x, y = pts[:, 0], pts[:, 1]
+    return abs(0.5 * float(np.sum(x * np.roll(y, -1)
+                                  - np.roll(x, -1) * y)))
 
 
 def compress_voided(quad):

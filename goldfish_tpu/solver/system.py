@@ -315,7 +315,10 @@ class NonMatchingSystem:
             # singular (geometry/trim.support_weights)
             from goldfish_tpu.geometry.trim import support_weights
 
-            alive = support_weights(self.stack) > 0.0
+            w = support_weights(self.stack)
+            # relative threshold: clipping roundoff can leave
+            # eps-mass supports that are numerically as singular
+            alive = w > 1e-12 * w.max()
             self._free *= alive[..., None]
         self.f_areal = None
         self.point_load_entries = []

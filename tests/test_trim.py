@@ -78,23 +78,30 @@ def test_sample_loop_from_curves():
 
 
 def test_trimmed_area_circular_hole():
-    """Plate with a circular hole: finite-cell masked quadrature
-    integrates the area to O(band width)."""
+    """Plate with a circular hole: coverage-corrected cut cells
+    (exact polygon-cell clipping) integrate the area to the trim
+    polygon's chord error — independent of subdiv — vs O(band) for
+    binary Gauss masking."""
+    from goldfish_tpu.ops.quadrature import build_patch_quadrature
+    from goldfish_tpu.geometry.trim import apply_trim
+
     r = 0.25
     surf = _plate(nel=8)
     hole = _circle_poly(0.5, 0.5, r)
     stack, metas = build_patch_stack(
-        [surf], trims=[(None, [hole])], trim_subdiv=4)
+        [surf], trims=[(None, [hole])], trim_subdiv=3)
     cp = stack_control_points(metas)
     h = np.ones((1, cp.shape[1]))
     area = float(volume(stack, cp, h))
     exact = 1.0 - np.pi * r**2
-    assert abs(area - exact) / exact < 2e-3
-    # subdiv refinement tightens the estimate
-    stack2, metas2 = build_patch_stack(
-        [surf], trims=[(None, [hole])], trim_subdiv=8)
-    area2 = float(volume(stack2, stack_control_points(metas2), h))
-    assert abs(area2 - exact) <= abs(area - exact)
+    assert abs(area - exact) / exact < 1e-4  # chord floor ~5e-6
+    # and strictly tighter than binary masking at the same subdiv
+    p, q = surf.degree
+    quad = build_patch_quadrature(surf.knots[0], surf.knots[1], p, q,
+                                  surf.weights, subdiv=3)
+    binary = apply_trim(quad, None, [hole], coverage=0)
+    assert abs(area - exact) < 0.1 * abs(
+        float(np.sum(binary.wq)) - exact)
 
 
 def test_trimmed_outer_loop():

@@ -507,10 +507,25 @@ class SLSQP:
         # gradient scales (x ~ 1e-2, |g| ~ 1e4 on the plate demo) put
         # it on a knife-edge where 1e-9 gradient noise decides between
         # convergence and a spurious zero-step exit. Optimize
-        # z = x / x_ref with x_ref = per-group |x0| magnitude.
+        # z = x / x_ref. Per group, x_ref honors (in order): the
+        # user's set_as_design_variable scaler (x_ref = 1/scaler), the
+        # |x0| magnitude, the bound magnitude (zero-initialized dvs:
+        # |x0| = 0 must NOT freeze the group at x_ref = eps), else 1.
+        def group_ref(v):
+            sc = v._design.get("scaler", 1.0)
+            if sc is not None and sc != 1.0:
+                return 1.0 / float(sc)
+            mag = float(np.abs(v.value).max())
+            if mag > 1e-12:
+                return mag
+            bmag = max((float(np.max(np.abs(np.asarray(b))))
+                        for b in (v._design.get("lower"),
+                                  v._design.get("upper"))
+                        if b is not None), default=0.0)
+            return bmag if bmag > 1e-12 else 1.0
+
         x_ref = np.concatenate([
-            np.full(v.size, max(float(np.abs(v.value).max()), 1e-12))
-            for v in dvs])
+            np.full(v.size, group_ref(v)) for v in dvs])
 
         def set_x(z):
             x = np.asarray(z) * x_ref

@@ -214,7 +214,8 @@ def read_igs_file(path: str) -> list[NURBS]:
     warning — the shell pipeline quadratures the full patch domain."""
     import warnings
 
-    for etype, toks in _parse_entities(path):
+    entities = _parse_entities(path)
+    for etype, toks in entities:
         if etype == 144:
             n1 = int(_num(toks[2])) if len(toks) > 2 else 0
             n2 = int(_num(toks[3])) if len(toks) > 3 else 0
@@ -226,7 +227,7 @@ def read_igs_file(path: str) -> list[NURBS]:
                     "+ build_patch_stack(trims=...) for finite-cell "
                     "trimmed quadrature.", stacklevel=2)
     return [_surface_from_toks(toks)
-            for etype, toks in _parse_entities(path) if etype == 128]
+            for etype, toks in entities if etype == 128]
 
 
 def read_igs_curves(path: str) -> list[NURBS]:

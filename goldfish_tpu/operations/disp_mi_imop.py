@@ -49,6 +49,12 @@ class CPIGA2XiImOperation:
         if self._ws is not None:
             x = jnp.asarray(cp_flat).ravel()
             xi0 = self._ws.predict(x, None)
+            if xi0 is not None:
+                # an overshooting secant seed outside the parametric
+                # domain can settle Newton on a spurious root or stall
+                # it across a knot line — clamp; a merely-bad in-domain
+                # seed just costs iterations
+                xi0 = jnp.clip(xi0, 0.0, 1.0)
         xi = self.c2x.solve(cp, xi0)
         if self._ws is not None:
             self._ws.update(x, xi)

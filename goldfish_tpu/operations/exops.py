@@ -24,30 +24,37 @@ __all__ = ["IntEnergyExOperation", "VolumeExOperation",
 
 
 class _ExOpBase:
-    """Shared machinery: flat <-> padded conversion + jitted grads."""
+    """Shared machinery: flat <-> padded conversion + jitted grads.
 
-    def __init__(self, system: NonMatchingSystem, fn):
+    `data` and any op-specific arrays (`extra`) flow through jit
+    ARGUMENTS — f64 closure constants inside jitted functions are
+    corrupted by the axon TPU backend (CLAUDE.md)."""
+
+    def __init__(self, system: NonMatchingSystem, fn, extra=()):
         self.system = system
         self.data = system.data
         self.layout = CPLayout(system.metas, system.stack.max_cp)
+        self._extra = tuple(jnp.asarray(e) for e in extra)
         lay = self.layout
 
-        def flat_fn(cp_f, h_f, d_f):
+        def flat_fn(data, extra, cp_f, h_f, d_f):
             cp = lay.to_padded(cp_f.reshape(-1, 3))
             h = lay.to_padded(h_f)
             d = lay.to_padded(d_f.reshape(-1, 3))
-            return fn(self.data, d, cp, h)
+            return fn(data, d, cp, h, *extra)
 
         self._value = jax.jit(flat_fn)
-        self._grads = jax.jit(jax.grad(flat_fn, argnums=(0, 1, 2)))
+        self._grads = jax.jit(jax.grad(flat_fn, argnums=(2, 3, 4)))
 
     def compute(self, cp, h, d):
-        return float(self._value(jnp.asarray(cp), jnp.asarray(h),
+        return float(self._value(self.data, self._extra,
+                                 jnp.asarray(cp), jnp.asarray(h),
                                  jnp.asarray(d)))
 
     def gradients(self, cp, h, d):
         """(dJ/dcp, dJ/dh, dJ/dd) as flat numpy arrays."""
-        g = self._grads(jnp.asarray(cp), jnp.asarray(h), jnp.asarray(d))
+        g = self._grads(self.data, self._extra, jnp.asarray(cp),
+                        jnp.asarray(h), jnp.asarray(d))
         return tuple(np.asarray(x) for x in g)
 
 
@@ -84,13 +91,13 @@ class IntEnergyReguExOperation(_ExOpBase):
     the system's initial control net)."""
 
     def __init__(self, system, regu_para=1.0, field=2, h_regu=1e-3):
-        import jax.numpy as jnp
-
-        cp_init = jnp.asarray(system.cp)
-        super().__init__(system, lambda data, d, cp, h:
-                         objectives.internal_energy_regu(
-                             data, d, cp, h, cp_init, regu_para,
-                             field=field, h_regu=h_regu))
+        super().__init__(
+            system,
+            lambda data, d, cp, h, cp_init:
+            objectives.internal_energy_regu(
+                data, d, cp, h, cp_init, regu_para,
+                field=field, h_regu=h_regu),
+            extra=(system.cp,))
 
 
 class VMStressExOperation:

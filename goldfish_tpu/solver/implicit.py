@@ -270,15 +270,20 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     # `shared` (optional dict) amortizes across SOLVES of a warm
     # optimizer loop: "r_ref" caches the load-scale reference |r(0)|
     # (an extra full residual program per solve otherwise, while a
-    # per-iteration design step moves it ~0.1%)
-    if shared is not None and "r_ref" in shared:
+    # per-iteration design step moves it ~0.1%). Refresh every 32
+    # solves: the per-step drift is small but compounds over a long
+    # optimization (pressure/areal loads scale with surface area)
+    if (shared is not None and "r_ref" in shared
+            and shared.get("r_ref_age", 0) < 32):
         r_ref = shared["r_ref"]
+        shared["r_ref_age"] = shared.get("r_ref_age", 0) + 1
         r, rn_, Pi = _jit_res_pot(data, cp, h, d0)
     else:
         r_ref_, r, rn_, Pi = _jit_entry(data, cp, h, d0)
         r_ref = float(r_ref_)
         if shared is not None:
             shared["r_ref"] = r_ref
+            shared["r_ref_age"] = 0
     rn = float(rn_)
     Pi0 = float(Pi)
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)

@@ -90,8 +90,8 @@ def riks_solve(data: SystemData, cp, h, d0, lam0=0.0, lam_target=1.0,
                psi=1.0, dl_max=None, verbose=False):
     """Trace the equilibrium path from (d0, lam0) toward lam_target.
 
-    Returns (d, lam, path) where path is a list of (lam, |d|_inf,
-    crown-independent measure |d|) per converged point; the final
+    Returns (d, lam, path) where path is a list of (lam, |d|_2)
+    pairs per converged point; the final
     (d, lam) is the last converged state — lam == lam_target when the
     path reaches it (a closing load-controlled Newton polishes the
     final point), else the furthest traced point.

@@ -401,7 +401,9 @@ def _jvp_ir_solve_mi_wb_seeded(data, mi, co, ss, L, invs, dscale, Uoh,
 @partial(jax.jit, static_argnames=("p", "q", "nb", "n_ir"))
 def _jit_dir_mi_wb(data, mi, co, ss, L, invs, dscale, Uoh, V, cp, h,
                    xi, d, r, *, p, q, nb, n_ir):
-    """Woodbury-corrected fused Newton direction (see _jit_dir_mi)."""
+    """Woodbury-corrected fused Newton direction: jvp-IR solve +
+    certificate + Armijo slope in ONE program (one tunnel roundtrip
+    on axon instead of three: solve, mask, slope)."""
     x, ratio = _jvp_ir_solve_mi_wb.__wrapped__(
         data, mi, co, ss, L, invs, dscale, Uoh, V, cp, h, xi, d, -r,
         p=p, q=q, nb=nb, n_ir=n_ir)
@@ -416,19 +418,6 @@ def _jit_Ki_gii(data, mi, co, ss, cp, h, xi, d, *, p, q):
     Ki, connA, connB = interface_hessians_mi(
         ss, p, q, mi, co, xi, d, cp, h, data.E)
     return Ki, _gii_from_conn(mi, connA, connB, data.stack.max_cp)
-
-
-@partial(jax.jit, static_argnames=("p", "q", "nb", "n_ir"))
-def _jit_dir_mi(data, mi, co, ss, L, invs, dscale, cp, h, xi, d, r,
-                *, p, q, nb, n_ir):
-    """Newton direction for r: jvp-IR solve + certificate + Armijo
-    slope in ONE program (one tunnel roundtrip on axon instead of
-    three: solve, mask, slope)."""
-    x, ratio = _jvp_ir_solve_mi.__wrapped__(
-        data, mi, co, ss, L, invs, dscale, cp, h, xi, d, -r,
-        p=p, q=q, nb=nb, n_ir=n_ir)
-    delta = x * data.free
-    return delta, ratio, jnp.sum(r * delta)
 
 
 @partial(jax.jit, static_argnames=("p", "q"))
@@ -578,11 +567,15 @@ class PersistentDeviceFactorMI:
         """Per-solve Woodbury update: make the preconditioner track the
         CURRENT seam position (xi staleness is what breaks IR against
         the persistent factor — measured rho O(0.3-1) along the warm
-        Newton direction vs ~1e-3 for cp/d staleness). Id-keyed cache:
-        a stale V only degrades the preconditioner (certificates still
-        guarantee accuracy), never correctness."""
-        key = (id(cp), id(xi))
-        if key == self._prep_key or self._ref is None:
+        Newton direction vs ~1e-3 for cp/d staleness). Identity-keyed
+        cache holding STRONG references (bare id() can be reused after
+        GC and spuriously match a new iterate): a stale V only degrades
+        the preconditioner (certificates still guarantee accuracy),
+        never correctness."""
+        key = (cp, xi)
+        if (self._prep_key is not None
+                and key[0] is self._prep_key[0]
+                and key[1] is self._prep_key[1]) or self._ref is None:
             return
         data, mi, co, ss = self.args
         V, same = _wb_prep(data, mi, co, ss, self._Ki_ref,
@@ -687,9 +680,12 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     `shared` (optional dict) amortizes across SOLVES of a warm
     optimizer loop: "r_ref" caches the load-scale reference |r(0)|
     (an extra full residual program per solve otherwise, while a
-    per-iteration design step moves it ~0.1%)."""
-    if shared is not None and "r_ref" in shared:
+    per-iteration design step moves it ~0.1%; refreshed every 32
+    solves so the drift cannot compound over a long optimization)."""
+    if (shared is not None and "r_ref" in shared
+            and shared.get("r_ref_age", 0) < 32):
         r_ref = shared["r_ref"]
+        shared["r_ref_age"] = shared.get("r_ref_age", 0) + 1
         r, rn_, Pi_ = _jit_res_pot_mi(data, mi, co, ss, p, q, cp, h,
                                       xi, d0)
     else:
@@ -698,6 +694,7 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
         r_ref = float(r_ref_)
         if shared is not None:
             shared["r_ref"] = r_ref
+            shared["r_ref_age"] = 0
     rn = float(rn_)
     Pi0 = float(Pi_)
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)

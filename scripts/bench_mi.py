@@ -138,7 +138,7 @@ def main():
 
     def opt_iteration(amp, d0, xi0):
         cp = make_cp(amp)
-        xi = c2x.solve(cp, ws_xi.predict(amp, xi0))
+        xi = c2x.solve(cp, jnp.clip(ws_xi.predict(amp, xi0), 0.0, 1.0))
         d0 = ws_d.predict(amp, d0)
         if mixed:
             d, its, rn = newton_solve_mi_host(

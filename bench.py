@@ -93,6 +93,17 @@ def main():
     ws = SecantWarmStart()
     ws.update(h0, d)
 
+    # settle the adaptive IR sweep policy BEFORE timing: each distinct
+    # sweep count the policy picks is a separate XLA program whose
+    # one-time compile through the axon tunnel would otherwise land in
+    # a timed iteration as a 100 s outlier (CLAUDE.md round-3 facts)
+    for k in range(2):
+        hw = h0 * (1.0 - 1e-4 * (k + 1))
+        (Jw, dw), gw = vg(hw, ws.predict(hw, d))
+        force(Jw, dw, gw)
+        ws.update(hw, dw)
+    d = dw
+
     times = []
     for k in range(5):
         hk = h0 * (1.0 + 1e-4 * (k + 1))  # optimizer-step-sized change

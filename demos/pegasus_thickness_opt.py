@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(n_sections=18, num_el=3, p=3, maxiter=5, verbose=True):
+def main(n_sections=18, num_el=3, p=3, maxiter=5, verbose=True,
+         checkpoint=None):
     from goldfish_tpu.design.pipeline import ThicknessFFD
     from goldfish_tpu.models import boxwing
     from goldfish_tpu.opt.problem import OptProblem
@@ -63,7 +64,16 @@ def main(n_sections=18, num_el=3, p=3, maxiter=5, verbose=True):
     prob.add_constraint("volume", vol, equals=V0, scaler=1e2)
 
     t1 = time.perf_counter()
-    res = prob.run_slsqp(maxiter=maxiter, tol=1e-12, verbose=verbose)
+    if checkpoint is not None:
+        # multi-hour full-scale runs must survive process death (axon
+        # relay outages, CLAUDE.md): resume from the last accepted
+        # iterate on re-invocation
+        from goldfish_tpu.utils.checkpoint import Checkpointer, resume_run
+
+        res, _ = resume_run(prob, Checkpointer(checkpoint),
+                            maxiter=maxiter, tol=1e-12, verbose=verbose)
+    else:
+        res = prob.run_slsqp(maxiter=maxiter, tol=1e-12, verbose=verbose)
     wall = time.perf_counter() - t1
     if verbose:
         J0 = res.history[0] if res.history else float("nan")
@@ -79,6 +89,8 @@ if __name__ == "__main__":
     ap.add_argument("--num-el", type=int, default=3)
     ap.add_argument("--p", type=int, default=3)
     ap.add_argument("--maxiter", type=int, default=5)
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="npz path for process-death-safe resume")
     a = ap.parse_args()
     main(n_sections=a.sections, num_el=a.num_el, p=a.p,
-         maxiter=a.maxiter)
+         maxiter=a.maxiter, checkpoint=a.checkpoint)

@@ -28,7 +28,7 @@ def main(num_el=6, p=3, maxiter=20, results="./results/wing_thopt",
     from goldfish_tpu.opt.problem import OptProblem
     from goldfish_tpu.physics import kl_shell
     from goldfish_tpu.solver.implicit import build_solve_fn
-    from goldfish_tpu.utils.checkpoint import Checkpointer
+    from goldfish_tpu.utils.checkpoint import Checkpointer, resume_run
     from goldfish_tpu.utils.profiling import profiler
     from goldfish_tpu.utils.vtk_io import SurfaceWriter
 
@@ -57,10 +57,13 @@ def main(num_el=6, p=3, maxiter=20, results="./results/wing_thopt",
     prob.add_constraint("volume", vol, equals=V0, scaler=1e2)
     prob.add_constraint("align", lambda dvs: A @ dvs["h_ffd"],
                         equals=np.zeros(A.shape[0]))
-    Checkpointer(os.path.join(results, "opt_state.npz")).attach(prob)
-
+    # process-death-safe entry: a killed/crashed run re-invoked with the
+    # same results dir resumes from the last accepted iterate (design +
+    # warm-start displacement), utils/checkpoint.resume_run
+    ck = Checkpointer(os.path.join(results, "opt_state.npz"))
     with profiler.stage("slsqp_total"):
-        res = prob.run_slsqp(maxiter=maxiter, tol=1e-12, verbose=verbose)
+        res, _ = resume_run(prob, ck, maxiter=maxiter, tol=1e-12,
+                            verbose=verbose)
 
     h_op = th(jnp.asarray(res.x["h_ffd"]))
     d_op = solve(cp, h_op, sys_.zero_displacement())

@@ -69,6 +69,7 @@ class OptProblem:
         self._obj = None
         self._obj_scaler = 1.0
         self._state0 = None
+        self.state_box = [None]
         self.iter_callback = None
 
     # ------------------------------------------------------------ setup
@@ -80,10 +81,15 @@ class OptProblem:
 
     def set_objective(self, fn, scaler=1.0, state0=None):
         """fn(dvs: dict) -> scalar, or fn(dvs, state) -> (scalar, state)
-        when `state0` is given (state is threaded, not differentiated)."""
+        when `state0` is given (state is threaded, not differentiated).
+
+        The live threaded state is held in `self.state_box` (a one-item
+        mutable list) so checkpointing (utils/checkpoint.resume_run)
+        can snapshot/rehydrate the warm start across process deaths."""
         self._obj = fn
         self._obj_scaler = float(scaler)
         self._state0 = state0
+        self.state_box = [state0]
 
     def add_constraint(self, name, fn, equals=None, lower=None, upper=None,
                        scaler=1.0):
@@ -160,7 +166,7 @@ class OptProblem:
         offs, _ = self._pack_info()
         slices = {dv.name: slice(int(o0), int(o1))
                   for dv, o0, o1 in zip(self._dvs, offs[:-1], offs[1:])}
-        state_box = [self._state0]
+        state_box = self.state_box
 
         def _flat(xdict):
             return jnp.concatenate([jnp.asarray(xdict[n]).ravel()
@@ -248,7 +254,7 @@ class OptProblem:
     def run_slsqp(self, maxiter=100, tol=1e-9, verbose=False):
         assert self._obj is not None, "set_objective first"
         has_state = self._state0 is not None
-        state_box = [self._state0]
+        state_box = self.state_box
 
         # Outer jit only on CPU: on the axon TPU backend an outer jit
         # would capture the system arrays as f64 closure constants,

@@ -300,13 +300,23 @@ class PersistentDeviceFactor:
     # (rho > 0.5: sweeps barely contract) or when retries exhaust.
     _RHO0 = 1e-3        # optimistic initial estimate (fresh factor)
     _MAX_SWEEPS = 16
+    # every distinct n_ir is a SEPARATE XLA program (one-time 1-5 min
+    # compiles through the axon tunnel, CLAUDE.md): quantize the sweep
+    # count to a small menu so the policy can ever request at most 7
+    # programs per kernel instead of any of 1..16
+    _N_MENU = (1, 2, 3, 4, 6, 8, 16)
 
-    def _n_for(self, tol, rho):
+    def _n_for(self, tol, rho, seeded=False):
         import math
 
         rho = min(max(rho, 1e-4), 0.9)
         n = math.ceil(math.log(tol) / math.log(rho)) + 1
-        return min(max(n, 1), self._MAX_SWEEPS)
+        if seeded:
+            # a good seed's entry error is already small: one fewer
+            # sweep reaches the same certificate (measured round 3)
+            n -= 1
+        n = min(max(n, 1), self._MAX_SWEEPS)
+        return next(m for m in self._N_MENU if m >= n)
 
     def _rho(self, n_ir):
         """Per-sweep contraction measured from the last certificate."""
@@ -356,7 +366,7 @@ class PersistentDeviceFactor:
         fails it and the solve falls back to the unseeded program —
         exactness never depends on seed quality."""
         if x0 is not None:
-            n = max(1, self._n_for(tol, self.rho_est) - 1)
+            n = self._n_for(tol, self.rho_est, seeded=True)
             x, ratio = _jvp_ir_solve_seeded(
                 self.data, self.dc._L, self.dc._invs, self.dc._dscale,
                 cp, h, d, b, x0, nb=self.dc.nb, n_ir=n)

@@ -482,7 +482,7 @@ class PersistentDeviceFactorMI:
     # shared measured-contraction IR policy (devicechol)
     from goldfish_tpu.solver.devicechol import PersistentDeviceFactor \
         as _P
-    _RHO0, _MAX_SWEEPS = _P._RHO0, _P._MAX_SWEEPS
+    _RHO0, _MAX_SWEEPS, _N_MENU = _P._RHO0, _P._MAX_SWEEPS, _P._N_MENU
     _n_for, _rho = _P._n_for, _P._rho
     del _P
 
@@ -623,7 +623,7 @@ class PersistentDeviceFactorMI:
                     x0=None):
         data, mi, co, ss = self.args
         if x0 is not None:
-            n = max(1, self._n_for(tol, self.rho_est) - 1)
+            n = self._n_for(tol, self.rho_est, seeded=True)
             x, ratio = _jvp_ir_solve_mi_wb_seeded(
                 data, mi, co, ss, self.dc._L, self.dc._invs,
                 self.dc._dscale, self._Uoh, self._V, cp, h, xi, d, b,

@@ -15,7 +15,7 @@ import tempfile
 
 import numpy as np
 
-__all__ = ["Checkpointer"]
+__all__ = ["Checkpointer", "resume_run"]
 
 
 class Checkpointer:
@@ -58,15 +58,62 @@ class Checkpointer:
                 else {}
         return design, state, meta
 
-    def attach(self, prob, state_box=None):
-        """Wire into OptProblem.iter_callback (saves each iteration)."""
-        it = [0]
+    def attach(self, prob, state_box=None, start_iter=0):
+        """Wire into OptProblem.iter_callback (saves each iteration).
+        Chains with any callback already installed; `start_iter` keeps
+        the persisted iteration counter monotonic across resumes."""
+        it = [int(start_iter)]
+        prev_cb = prob.iter_callback
 
         def cb(xdict, J):
             it[0] += 1
             self.save({k: np.asarray(v) for k, v in xdict.items()},
                       state=None if state_box is None else state_box[0],
                       meta={"iter": it[0], "J": float(J)})
+            if prev_cb is not None:
+                prev_cb(xdict, J)
 
         prob.iter_callback = cb
         return prob
+
+
+def resume_run(prob, ckpt: Checkpointer, maxiter=100, state_box=None,
+               **run_kwargs):
+    """Process-death-safe optimization entry point.
+
+    Invoke instead of `prob.run(...)`: if `ckpt` holds a snapshot from a
+    previous (killed/crashed) process, the design variables are restored
+    from it, the warm-start state is rehydrated into `state_box` (the
+    same mutable box the caller's objective closure threads its
+    displacement warm start through), and only the REMAINING iterations
+    run. Every accepted optimizer iteration re-snapshots atomically, so
+    the run can be killed and re-invoked any number of times and always
+    continues from the last accepted iterate. Complements
+    utils/retry.py: retry handles transient in-process device failures,
+    this handles the process dying outright (axon relay outages measured
+    in hours, CLAUDE.md).
+
+    The reference has no counterpart (output-only pvd snapshots,
+    SURVEY.md section 5); multi-hour pegasus-class runs need one.
+
+    Returns (result, done_iters_from_previous_processes).
+    """
+    if state_box is None:
+        # the driver's own threaded-state box (OptProblem.set_objective)
+        state_box = getattr(prob, "state_box", None)
+    done = 0
+    snap = ckpt.load()
+    if snap is not None:
+        design, state, meta = snap
+        for dv in prob._dvs:
+            if dv.name in design:
+                dv.init = np.asarray(
+                    design[dv.name], dtype=np.float64).reshape(
+                        dv.init.shape)
+        if state is not None and state_box is not None:
+            state_box[0] = state
+        done = int(meta.get("iter", 0))
+    ckpt.attach(prob, state_box=state_box, start_iter=done)
+    remaining = max(int(maxiter) - done, 1)
+    res = prob.run(maxiter=remaining, **run_kwargs)
+    return res, done

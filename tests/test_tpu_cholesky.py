@@ -91,3 +91,32 @@ def test_persistent_factor_seeded_exact_solve():
     rel = float(jnp.linalg.norm(x_bad - x_ref) / jnp.linalg.norm(x_ref))
     assert rel < 1e-6, rel
     assert not fac.nonconverged
+
+
+def test_ir_sweep_menu_quantization():
+    """The adaptive IR policy only ever requests sweep counts from
+    _N_MENU (each distinct count is a separate one-time-compiled XLA
+    program on the axon tunnel); seeded solves discount one sweep
+    BEFORE quantization so they stay on-menu too."""
+    from goldfish_tpu.solver.devicechol import PersistentDeviceFactor as P
+
+    menu = P._N_MENU
+    assert menu == tuple(sorted(menu)) and menu[-1] == P._MAX_SWEEPS
+
+    class Dummy:
+        _RHO0, _MAX_SWEEPS, _N_MENU = P._RHO0, P._MAX_SWEEPS, P._N_MENU
+    dummy = Dummy()
+    for tol in (1e-3, 1e-6, 1e-10):
+        for rho in (1e-4, 1e-3, 1e-2, 0.1, 0.3, 0.5, 0.7, 0.9, 2.0):
+            n = P._n_for(dummy, tol, rho)
+            ns = P._n_for(dummy, tol, rho, seeded=True)
+            assert n in menu and ns in menu, (tol, rho, n, ns)
+            assert ns <= n
+    # fresh-factor fast path stays minimal; stale factor hits the cap
+    assert P._n_for(dummy, 1e-6, P._RHO0) <= 3
+    assert P._n_for(dummy, 1e-6, 0.9) == P._MAX_SWEEPS
+
+    # the MI variant shares the same menu (module import only; the
+    # class body aliases the policy methods)
+    from goldfish_tpu.solver.system_mi import PersistentDeviceFactorMI
+    assert PersistentDeviceFactorMI._N_MENU == menu

@@ -57,6 +57,67 @@ def test_checkpoint_missing(tmp_path):
     assert Checkpointer(str(tmp_path / "nope.npz")).load() is None
 
 
+def test_resume_run_survives_process_death(tmp_path):
+    """utils/checkpoint.resume_run: an optimization killed mid-run
+    resumes from the last accepted iterate in a FRESH process (fresh
+    OptProblem), with the warm-start state rehydrated and the iteration
+    budget reduced by the iterations already done."""
+    import jax.numpy as jnp
+    import pytest
+
+    from goldfish_tpu.opt.problem import OptProblem
+    from goldfish_tpu.utils.checkpoint import resume_run
+
+    ckpt_path = str(tmp_path / "resume.npz")
+    x_star = np.array([0.3, -0.2, 0.7])
+
+    def build():
+        prob = OptProblem()
+        prob.add_design_var("x", np.zeros(3), lower=-1.0, upper=1.0)
+
+        def obj(dvs, state):
+            # state threads a fake warm start (here: eval counter)
+            return jnp.sum((dvs["x"] - x_star) ** 2), state + 1.0
+        prob.set_objective(obj, state0=jnp.zeros(()))
+        return prob
+
+    # --- process 1: dies after 2 accepted iterations -----------------
+    class Killed(RuntimeError):
+        pass
+
+    prob1 = build()
+    nits = [0]
+
+    def killer(xdict, J):
+        nits[0] += 1
+        if nits[0] >= 2:
+            raise Killed()
+    prob1.iter_callback = killer
+
+    ck = Checkpointer(ckpt_path)
+    with pytest.raises(Killed):
+        resume_run(prob1, ck, maxiter=50)
+    snap = ck.load()
+    assert snap is not None
+    design_mid, state_mid, meta = snap
+    assert meta["iter"] == 2
+    assert state_mid is not None and float(state_mid) > 0
+
+    # --- process 2 (fresh everything): resumes and finishes ----------
+    prob2 = build()
+    res, done = resume_run(prob2, Checkpointer(ckpt_path), maxiter=50)
+    assert done == 2
+    # the resumed run started FROM the snapshot, not from x0
+    assert np.allclose(np.asarray(prob2._dvs[0].init).ravel(),
+                       design_mid["x"].ravel())
+    # the warm-start state was rehydrated (not reset to zero)
+    assert float(state_mid) <= float(prob2.state_box[0])
+    assert res.success and np.allclose(res.x["x"], x_star, atol=1e-6)
+    # the snapshot kept advancing monotonically across the resume
+    *_, meta2 = Checkpointer(ckpt_path).load()
+    assert meta2["iter"] > 2
+
+
 def test_profiler():
     import jax.numpy as jnp
 

@@ -315,10 +315,12 @@ def _c2x_newton_host(ss, mi, cp, x0, *, p, q, rtol=1e-12, max_it=20):
         # optimistic fused full step (the warm/normal case): accept on
         # sufficient decrease, one dispatch per Newton iteration
         x_new, rn_, rn_new_, _ = _c2x_step(ss, mi, cp, x, p=p, q=q)
-        rn = float(rn_)
+        # ONE batched readback (sequential float() fetches cost a
+        # ~27 ms axon tunnel roundtrip EACH — measured)
+        rn, rn_new = (float(v) for v in
+                      jax.device_get((rn_, rn_new_)))
         if rn <= rtol:
             return x, it, rn
-        rn_new = float(rn_new_)
         if rn_new <= (1 - 1e-4) * rn:
             x = x_new
             if rn_new <= rtol:

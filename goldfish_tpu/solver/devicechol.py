@@ -281,6 +281,16 @@ class PersistentDeviceFactor:
         self.refactor_log.append((why or "drift", drift))
         return True
 
+    def drift_scalar(self, cp, h, d):
+        """State drift vs the factor reference as a DEVICE scalar (no
+        readback — callers batch the fetch with their other scalars so
+        the drift check, the direction, and the trial dispatch
+        back-to-back instead of paying one ~27 ms axon roundtrip each;
+        see newton_solve_host). None when no factor exists yet."""
+        if self._ref is None:
+            return None
+        return self._drift(cp, h, d, *self._ref)
+
     def direction(self, r):
         """Inexact-Newton direction: substitution only (1 dispatch)."""
         return self.dc.solve(r)
@@ -349,6 +359,37 @@ class PersistentDeviceFactor:
                 self.ensure(cp, h, d, force=True, why="dir-cert")
                 refactored = True
         return delta, float(slope)
+
+    def ir_solve_async(self, cp, h, d, b, x0=None, tol=1e-6):
+        """ONE jvp-IR dispatch with NO readback: returns (x, ratio_dev,
+        n_used). The caller fetches `ratio_dev` batched with its other
+        scalars (and may dispatch downstream work on `x` speculatively
+        — e.g. the adjoint vjp), then calls `finish_ir(n_used, ratio)`:
+        True = certificate passed, the solve is exact; False = fall
+        back to the self-validating `exact_solve`. Exactness never
+        rests on the speculation — only wasted device work does."""
+        if x0 is not None:
+            n = self._n_for(tol, self.rho_est, seeded=True)
+            x, ratio = _jvp_ir_solve_seeded(
+                self.data, self.dc._L, self.dc._invs, self.dc._dscale,
+                cp, h, d, b, x0, nb=self.dc.nb, n_ir=n)
+        else:
+            n = self._n_for(tol, self.rho_est)
+            x, ratio = _jvp_ir_solve(self.data, self.dc._L,
+                                     self.dc._invs, self.dc._dscale,
+                                     cp, h, d, b, nb=self.dc.nb, n_ir=n)
+        return x, ratio, n
+
+    def finish_ir(self, n, ratio, tol=1e-6, tag="exact-pipe"):
+        """Certificate bookkeeping for an `ir_solve_async` dispatch
+        (same rho_est update rules as exact_solve)."""
+        self.last_ratio = float(ratio)
+        self.cert_log.append((tag, n, self.last_ratio))
+        if self.last_ratio <= tol:
+            self.rho_est = max(self._rho(n), self._RHO0)
+            return True
+        self.rho_est = self._rho(n)
+        return False
 
     def exact_solve(self, cp, h, d, b, n_ir=None, tol=1e-6, x0=None):
         """K(d) x = b via jvp-matvec IR, SELF-VALIDATING: if the

@@ -278,14 +278,14 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
         r_ref = shared["r_ref"]
         shared["r_ref_age"] = shared.get("r_ref_age", 0) + 1
         r, rn_, Pi = _jit_res_pot(data, cp, h, d0)
+        rn, Pi0 = (float(x) for x in jax.device_get((rn_, Pi)))
     else:
         r_ref_, r, rn_, Pi = _jit_entry(data, cp, h, d0)
-        r_ref = float(r_ref_)
+        r_ref, rn, Pi0 = (float(x) for x in
+                          jax.device_get((r_ref_, rn_, Pi)))
         if shared is not None:
             shared["r_ref"] = r_ref
             shared["r_ref_age"] = 0
-    rn = float(rn_)
-    Pi0 = float(Pi)
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
     eps = float(jnp.finfo(d0.dtype).eps)
 
@@ -304,6 +304,7 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     refactored_on_stall = False
     use_ir = False
     while (it < max_it and rn > atol and rn > rtol * r_ref):
+        pre_trial = None
         if device_direct:
             if use_ir:
                 # exact Newton via the fused jvp-IR direction against
@@ -314,10 +315,35 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
                 delta, slope = device_fac.newton_direction(cp, h, d, r,
                                                            tol=1e-3)
             else:
-                device_fac.ensure(cp, h, d)
-                # fused substitution + free-mask + slope (1 dispatch)
-                delta, slope = device_fac.direction_slope(r)
-                slope = float(slope)
+                # SPECULATIVE PIPELINE (axon: every sequential float()
+                # readback costs a ~27 ms tunnel roundtrip): queue the
+                # drift check, the substitution direction, and the
+                # alpha=1 trial back-to-back, then fetch all four
+                # scalars in ONE batched readback. Only the SAME
+                # individually-validated programs are dispatched — no
+                # new fused XLA program (the axon silent-corruption
+                # hazard class); a stale factor merely wastes the
+                # speculated direction+trial (rare on warm paths).
+                if device_fac._ref is None:
+                    device_fac.ensure(cp, h, d)
+                drift_ = device_fac.drift_scalar(cp, h, d)
+                delta, slope_ = device_fac.direction_slope(r)
+                d_try, r_try, rn_try_, Pi_try_ = _jit_trial(
+                    data, cp, h, d, delta, 1.0)
+                drift, slope, rn_try, Pi_try = (
+                    float(x) for x in jax.device_get(
+                        (drift_, slope_, rn_try_, Pi_try_)))
+                if drift > device_fac.stale_tol:
+                    # speculation lost: refresh the factor at the
+                    # current state and redo direction + trial
+                    device_fac.ensure(cp, h, d, force=True, why="drift")
+                    delta, slope_ = device_fac.direction_slope(r)
+                    d_try, r_try, rn_try_, Pi_try_ = _jit_trial(
+                        data, cp, h, d, delta, 1.0)
+                    slope, rn_try, Pi_try = (
+                        float(x) for x in jax.device_get(
+                            (slope_, rn_try_, Pi_try_)))
+                pre_trial = (d_try, r_try, rn_try_, rn_try, Pi_try)
         elif host_direct:
             blocks = _jit_blocks(data, cp, h, d)
             # host f64 LU fallback (amortized via exact-residual IR)
@@ -340,16 +366,25 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
         # case: alpha=1) it IS the next iteration's state
         alpha = 1.0
         ls_fail = False
-        for _ in range(1 if slope_tiny else 30):
-            d_try, r_try, rn_try_, Pi_try_ = _jit_trial(
-                data, cp, h, d, delta, alpha)
-            Pi_try = float(Pi_try_)
+        rn_try = None
+        for j in range(1 if slope_tiny else 30):
+            if j == 0 and pre_trial is not None:
+                # the alpha=1 trial was dispatched (and its scalars
+                # fetched) inside the speculative pipeline above
+                d_try, r_try, rn_try_, rn_try, Pi_try = pre_trial
+            else:
+                d_try, r_try, rn_try_, Pi_try_ = _jit_trial(
+                    data, cp, h, d, delta, alpha)
+                Pi_try = float(Pi_try_)
+                rn_try = None
             if slope_tiny or Pi_try <= (Pi0 + 1e-4 * alpha * slope
                                         + 16 * eps * abs(Pi0)):
                 break
             alpha *= 0.5
         else:
             ls_fail = True
+        if rn_try is None:
+            rn_try = float(rn_try_)
         if ls_fail and device_direct and not refactored_on_stall:
             # stale direction not a descent direction: refresh the
             # factor at the current state and retry this iteration
@@ -361,14 +396,14 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
             # a NEW iterate deserves its own fresh-factor retry (the
             # one-shot latch wasted a max_it slot on a 0.5^30 no-op)
             refactored_on_stall = False
-        if slope_tiny and float(rn_try_) >= rn:
+        if slope_tiny and rn_try >= rn:
             # the sub-resolution full step WORSENED |r|: the step was
             # noise — keep the better current iterate and stop
             break
         rn_prev = rn
         d = d_try
         r = r_try
-        rn = float(rn_try_)
+        rn = rn_try
         Pi_new = Pi_try
         it += 1
         if verbose:
@@ -407,6 +442,46 @@ def _adjoint_solve_direct(data: SystemData, d, cp, h, g):
     return _jit_residual_vjp.__wrapped__(data, d, cp, h, lam)
 
 
+def _pipelined_device_adjoint(data: SystemData, fac, cp, h, d, g,
+                              vjp_fn, lam_ws=None, key=None):
+    """Adjoint gradients on the persistent device factor with the axon
+    dispatch PIPELINE: queue drift check + (seeded) jvp-IR solve +
+    free-mask + the residual vjp back-to-back, then fetch the drift
+    and the IR certificate in ONE batched readback — instead of the
+    three sequential ~27 ms tunnel roundtrips of the ensure /
+    exact_solve / vjp composition. Exactness still rests ONLY on the
+    in-program certificate: a failed certificate discards the
+    speculated vjp and falls back to the self-validating exact_solve
+    (which refactors / re-sizes sweeps as needed)."""
+    b = g * data.free
+    x0 = None
+    if lam_ws is not None and key is not None:
+        x0 = lam_ws.predict(key, None)
+    if fac._ref is not None:
+        drift_ = fac.drift_scalar(cp, h, d)
+        x, ratio_, n = fac.ir_solve_async(cp, h, d, b, x0=x0)
+        lam = x * data.free
+        out = vjp_fn(lam)  # speculative: wasted only on cert failure
+        drift, ratio = (float(v) for v in
+                        jax.device_get((drift_, ratio_)))
+        if fac.finish_ir(n, ratio,
+                         tag="exact-x0-pipe" if x0 is not None
+                         else "exact-pipe"):
+            if lam_ws is not None:
+                lam_ws.update(key, lam)
+            return out
+        # certificate failed (stale factor or bad seed): preemptively
+        # refactor when grossly stale, then the slow path revalidates
+        if drift > 0.2:
+            fac.ensure(cp, h, d, force=True, why="adjoint-drift")
+    else:
+        fac.ensure(cp, h, d, why="adjoint")
+    lam = fac.exact_solve(cp, h, d, b) * data.free
+    if lam_ws is not None:
+        lam_ws.update(key, lam)
+    return vjp_fn(lam)
+
+
 def adjoint_solve(data: SystemData, d, cp, h, g, host_fac=None,
                   device_fac=None, lam_ws=None):
     """Implicit-function adjoint: K lam = g, then (dcp, dh) = -lam^T
@@ -426,22 +501,18 @@ def adjoint_solve(data: SystemData, d, cp, h, g, host_fac=None,
         if devicechol.enabled():
             fac = device_fac if device_fac is not None \
                 else devicechol.PersistentDeviceFactor(data)
-            # loose drift check: exact_solve's certificate guarantees
-            # the adjoint grade against a warm-stale factor
-            fac.ensure(cp, h, d, stale_tol=0.2, why="adjoint")
-            x0 = None
+            key = None
             if lam_ws is not None:
                 # seed with the secant-extrapolated previous adjoint
                 # (key = everything lam depends on); a bad seed only
                 # fails the certificate and falls back unseeded
                 key = jnp.concatenate([cp.ravel(), h.ravel(),
                                        g.ravel()])
-                x0 = lam_ws.predict(key, None)
-            lam = fac.exact_solve(cp, h, d, g * data.free,
-                                  x0=x0) * data.free
-            if lam_ws is not None:
-                lam_ws.update(key, lam)
-            return _jit_residual_vjp(data, d, cp, h, lam)
+            return _pipelined_device_adjoint(
+                data, fac, cp, h, d, g,
+                vjp_fn=lambda lam: _jit_residual_vjp(data, d, cp, h,
+                                                     lam),
+                lam_ws=lam_ws, key=key)
         blocks = _jit_blocks(data, cp, h, d)
         if hostsolve.enabled():
             fac = host_fac if host_fac is not None \
@@ -573,29 +644,29 @@ def build_field_solve_fn(data: SystemData, rtol=1e-9, atol=1e-14,
     def bwd(res, g):
         d, cp, h, f = res
         data_f = data._replace(f_field=f)
+
+        def vjp_fn(lam):
+            _, vjp = jax.vjp(
+                lambda c, hh, ff: residual(data._replace(f_field=ff),
+                                           d, c, hh), cp, h, f)
+            return vjp(-lam)
+
         if mode() == "mixed" and pdf is not None:
             # pdf's jvp matvec uses `data` WITHOUT f_field — correct:
             # a dead areal field is linear in d, so the tangent K is
-            # identical; only dR/df in the vjp below needs data_f
-            pdf.ensure(cp, h, d, stale_tol=0.2, why="field-adjoint")
-            x0 = None
+            # identical; only dR/df in vjp_fn needs data_f
+            key = None
             if lam_ws is not None:
                 key = jnp.concatenate([cp.ravel(), h.ravel(),
                                        f.ravel(), g.ravel()])
-                x0 = lam_ws.predict(key, None)
-            lam = pdf.exact_solve(cp, h, d, g * data.free,
-                                  x0=x0) * data.free
-            if lam_ws is not None:
-                lam_ws.update(key, lam)
+            dc, dh, df = _pipelined_device_adjoint(
+                data, pdf, cp, h, d, g, vjp_fn, lam_ws=lam_ws, key=key)
         else:
             K = assemble_K(data_f, d, cp, h)
             lam = linear_solve(
                 K, (g * data.free).reshape(-1)).reshape(g.shape)
             lam = lam * data.free
-        _, vjp = jax.vjp(
-            lambda c, hh, ff: residual(data._replace(f_field=ff),
-                                       d, c, hh), cp, h, f)
-        dc, dh, df = vjp(-lam)
+            dc, dh, df = vjp_fn(lam)
         return dc, dh, df, jnp.zeros_like(d)
 
     solve.defvjp(fwd, bwd)

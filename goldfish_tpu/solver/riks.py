@@ -67,9 +67,14 @@ def _arc_root(Dd, Dlam, dd_r, dd_q, q2, dl, psi):
     """delta-lam from the cylindrical constraint: the root of
     a x^2 + b x + c closest to continuing along the current increment."""
     t = Dd + dd_r
-    a = float(jnp.vdot(dd_q, dd_q)) + psi**2 * q2
-    b = 2.0 * (float(jnp.vdot(t, dd_q)) + psi**2 * Dlam * q2)
-    c = float(jnp.vdot(t, t)) + psi**2 * Dlam**2 * q2 - dl**2
+    # one batched readback (sequential float() fetches pay one axon
+    # tunnel roundtrip each)
+    qq, tq, tt, ddt, ddq = (float(v) for v in jax.device_get(
+        (jnp.vdot(dd_q, dd_q), jnp.vdot(t, dd_q), jnp.vdot(t, t),
+         jnp.vdot(Dd, t), jnp.vdot(Dd, dd_q))))
+    a = qq + psi**2 * q2
+    b = 2.0 * (tq + psi**2 * Dlam * q2)
+    c = tt + psi**2 * Dlam**2 * q2 - dl**2
     disc = b * b - 4.0 * a * c
     if disc < 0.0 or a <= 0.0:
         return None  # arc too small for this correction: cut dl
@@ -79,8 +84,7 @@ def _arc_root(Dd, Dlam, dd_r, dd_q, q2, dl, psi):
     # continue forward: maximize alignment of the new increment with
     # the old one (Crisfield's angle criterion)
     def align(x):
-        return float(jnp.vdot(Dd, t + x * dd_q)) + psi**2 * q2 \
-            * Dlam * (Dlam + x)
+        return ddt + x * ddq + psi**2 * q2 * Dlam * (Dlam + x)
 
     return x1 if align(x1) >= align(x2) else x2
 
@@ -115,12 +119,14 @@ def riks_solve(data: SystemData, cp, h, d0, lam0=0.0, lam_target=1.0,
     for step in range(max_steps):
         # ---- predictor along the previous increment ----------------
         R, q = _R_q(data, cp, h, d, lam)
-        q2 = float(jnp.vdot(q, q))
         dd_r, dd_q = _tangent_solves(data, cp, h, d, lam, R, q)
-        denom = float(jnp.linalg.norm(dd_q)) ** 2 + psi**2 * q2
+        q2, nq, dirn = (float(v) for v in jax.device_get(
+            (jnp.vdot(q, q), jnp.linalg.norm(dd_q),
+             jnp.vdot(Dd_prev, dd_q))))
+        denom = nq ** 2 + psi**2 * q2
         Dlam = dl / denom ** 0.5
         # direction: continue the way we were going
-        if float(jnp.vdot(Dd_prev, dd_q)) + psi**2 * Dlam_prev * q2 < 0:
+        if dirn + psi**2 * Dlam_prev * q2 < 0:
             Dlam = -Dlam
         Dd = Dlam * dd_q
         d_trial = d + Dd
@@ -130,11 +136,11 @@ def riks_solve(data: SystemData, cp, h, d0, lam0=0.0, lam_target=1.0,
         ok = False
         for it in range(max_it):
             R, q = _R_q(data, cp, h, d_trial, lam_trial)
-            rn = float(jnp.linalg.norm(R * data.free))
+            rn, q2 = (float(v) for v in jax.device_get(
+                (jnp.linalg.norm(R * data.free), jnp.vdot(q, q))))
             if rn <= rtol * r_ref:
                 ok = True
                 break
-            q2 = float(jnp.vdot(q, q))
             dd_r, dd_q = _tangent_solves(data, cp, h, d_trial,
                                          lam_trial, R, q)
             dlam_c = _arc_root(Dd, Dlam, dd_r, dd_q, q2, dl, psi)

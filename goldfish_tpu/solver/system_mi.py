@@ -483,25 +483,40 @@ class PersistentDeviceFactorMI:
     from goldfish_tpu.solver.devicechol import PersistentDeviceFactor \
         as _P
     _RHO0, _MAX_SWEEPS, _N_MENU = _P._RHO0, _P._MAX_SWEEPS, _P._N_MENU
-    _n_for, _rho = _P._n_for, _P._rho
+    _n_for, _rho, finish_ir = _P._n_for, _P._rho, _P.finish_ir
     del _P
+
+    @staticmethod
+    @jax.jit
+    def _drift_mi(cp, h, xi, d, cp0, h0, xi0, d0):
+        """Relative state drift vs the factor reference, ONE device
+        scalar (the former two-readback drift + dxi composition cost
+        two ~27 ms axon roundtrips per check). K_mi depends on xi
+        (interface quadrature points move with it): a xi-only design
+        perturbation must register as drift too, normalized by xi's
+        own scale like the other fields."""
+        from goldfish_tpu.solver.devicechol import PersistentDeviceFactor
+
+        drift = PersistentDeviceFactor._drift.__wrapped__(
+            cp, h, d, cp0, h0, d0)
+        dxi = jnp.linalg.norm(xi - xi0) / (jnp.linalg.norm(xi0) + 1e-300)
+        return jnp.maximum(drift, dxi)
+
+    def drift_scalar(self, cp, h, xi, d):
+        """State drift vs the factor reference as a DEVICE scalar (no
+        readback — callers batch the fetch; see devicechol counterpart).
+        None when no factor exists yet."""
+        if self._ref is None:
+            return None
+        cp0, h0, d0, xi0 = self._ref
+        return self._drift_mi(cp, h, xi, d, cp0, h0, xi0, d0)
 
     def ensure(self, cp, h, xi, d, force=False, stale_tol=None, why=""):
         """See devicechol.PersistentDeviceFactor.ensure — same loose-
         tol contract for certificate-protected call sites."""
-        from goldfish_tpu.solver.devicechol import PersistentDeviceFactor
-
         drift = -1.0
         if self._ref is not None and not force:
-            cp0, h0, d0, xi0 = self._ref
-            drift = float(PersistentDeviceFactor._drift(
-                cp, h, d, cp0, h0, d0))
-            # K_mi depends on xi (interface quadrature points move with
-            # it): a xi-only design perturbation must register as drift
-            # too, normalized by xi's own scale like the other fields.
-            dxi = float(jnp.linalg.norm(xi - xi0)
-                        / (jnp.linalg.norm(xi0) + 1e-300))
-            drift = max(drift, dxi)
+            drift = float(self.drift_scalar(cp, h, xi, d))
             tol = self.stale_tol if stale_tol is None else stale_tol
             if drift <= tol:
                 return False
@@ -563,6 +578,36 @@ class PersistentDeviceFactorMI:
         self._V = jnp.zeros((N, self._M), dtype=dtype)
         self._prep_key = None
 
+    def prepare_async(self, cp, h, xi, d):
+        """Dispatch the per-solve Woodbury seam update with NO readback
+        (callers batch the `same` fetch with their other scalars):
+        returns (V, same_dev, key) to hand to finish_prepare, or None
+        when the cached V is already current / no factor exists."""
+        key = (cp, xi)
+        if (self._prep_key is not None
+                and key[0] is self._prep_key[0]
+                and key[1] is self._prep_key[1]) or self._ref is None:
+            return None
+        data, mi, co, ss = self.args
+        V, same = _wb_prep(data, mi, co, ss, self._Ki_ref,
+                           self._gii_ref, self._urows, self._W,
+                           self._G, cp, h, xi, d, p=self.p, q=self.q)
+        return V, same, key
+
+    def finish_prepare(self, pend, same, cp, h, xi, d):
+        """Commit a prepare_async dispatch given the fetched `same`
+        flag. False = a seam point crossed a knot span (its support
+        escaped the U subspace) and the factor was rebuilt at the
+        current state instead (rare)."""
+        V, _, key = pend
+        if not same:
+            self.ensure(cp, h, xi, d, force=True, why="conn-escape")
+            self._prep_key = key
+            return False
+        self._V = V
+        self._prep_key = key
+        return True
+
     def prepare(self, cp, h, xi, d):
         """Per-solve Woodbury update: make the preconditioner track the
         CURRENT seam position (xi staleness is what breaks IR against
@@ -572,23 +617,10 @@ class PersistentDeviceFactorMI:
         GC and spuriously match a new iterate): a stale V only degrades
         the preconditioner (certificates still guarantee accuracy),
         never correctness."""
-        key = (cp, xi)
-        if (self._prep_key is not None
-                and key[0] is self._prep_key[0]
-                and key[1] is self._prep_key[1]) or self._ref is None:
+        pend = self.prepare_async(cp, h, xi, d)
+        if pend is None:
             return
-        data, mi, co, ss = self.args
-        V, same = _wb_prep(data, mi, co, ss, self._Ki_ref,
-                           self._gii_ref, self._urows, self._W,
-                           self._G, cp, h, xi, d, p=self.p, q=self.q)
-        if not bool(same):
-            # a seam point crossed a knot span: its support escaped the
-            # U subspace — refactor at the current state (rare)
-            self.ensure(cp, h, xi, d, force=True, why="conn-escape")
-            self._prep_key = key
-            return
-        self._V = V
-        self._prep_key = key
+        self.finish_prepare(pend, bool(pend[1]), cp, h, xi, d)
 
     def direction(self, r):
         return self.dc.solve(r)
@@ -618,6 +650,45 @@ class PersistentDeviceFactorMI:
                 self.ensure(cp, h, xi, d, force=True, why="dir-cert")
                 refactored = True
         return delta, float(slope)
+
+    def dir_async(self, cp, h, xi, d, r, tol=1e-3):
+        """ONE fused IR-direction dispatch with NO readback: returns
+        (delta, ratio_dev, slope_dev, n_used). The caller batch-fetches
+        ratio/slope with its trial scalars, then finish_ir(n, ratio,
+        tol) — False means fall back to the self-validating
+        newton_direction."""
+        data, mi, co, ss = self.args
+        n_ir = self._n_for(tol, self.rho_est)
+        delta, ratio, slope = _jit_dir_mi_wb(
+            data, mi, co, ss, self.dc._L, self.dc._invs,
+            self.dc._dscale, self._Uoh, self._V, cp, h, xi, d, r,
+            p=self.p, q=self.q, nb=self.dc.nb, n_ir=n_ir)
+        return delta, ratio, slope, n_ir
+
+    def ir_solve_async(self, cp, h, xi, d, b, x0=None, tol=1e-6,
+                       V=None):
+        """ONE (seeded) jvp-IR dispatch with NO readback: returns
+        (x, ratio_dev, n_used); see devicechol counterpart — the caller
+        validates via finish_ir and falls back to exact_solve. `V`
+        (optional) overrides the committed Woodbury correction with a
+        SPECULATED one from prepare_async (the adjoint pipeline solves
+        against the current-xi seam correction before the `same` flag
+        has been fetched — a wrong V only fails the certificate)."""
+        data, mi, co, ss = self.args
+        V = self._V if V is None else V
+        if x0 is not None:
+            n = self._n_for(tol, self.rho_est, seeded=True)
+            x, ratio = _jvp_ir_solve_mi_wb_seeded(
+                data, mi, co, ss, self.dc._L, self.dc._invs,
+                self.dc._dscale, self._Uoh, V, cp, h, xi, d, b,
+                x0, p=self.p, q=self.q, nb=self.dc.nb, n_ir=n)
+        else:
+            n = self._n_for(tol, self.rho_est)
+            x, ratio = _jvp_ir_solve_mi_wb(
+                data, mi, co, ss, self.dc._L, self.dc._invs,
+                self.dc._dscale, self._Uoh, V, cp, h, xi, d, b,
+                p=self.p, q=self.q, nb=self.dc.nb, n_ir=n)
+        return x, ratio, n
 
     def exact_solve(self, cp, h, xi, d, b, n_ir=None, tol=1e-6,
                     x0=None):
@@ -682,6 +753,16 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     (an extra full residual program per solve otherwise, while a
     per-iteration design step moves it ~0.1%; refreshed every 32
     solves so the drift cannot compound over a long optimization)."""
+    if device_fac is None:
+        device_fac = PersistentDeviceFactorMI(data, mi, co, ss, p, q)
+
+    # ENTRY PIPELINE (axon: every sequential float() readback costs a
+    # ~27 ms tunnel roundtrip): dispatch the entry residual/potential,
+    # the factor drift check, and the Woodbury seam update back-to-back
+    # and fetch all their scalars in ONE batched readback. Only the
+    # same individually-validated programs run — speculation can only
+    # waste device work (when the factor turns out grossly stale).
+    r_ref_ = None
     if (shared is not None and "r_ref" in shared
             and shared.get("r_ref_age", 0) < 32):
         r_ref = shared["r_ref"]
@@ -691,17 +772,23 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     else:
         r_ref_, r, rn_, Pi_ = _jit_entry_mi(data, mi, co, ss, p, q, cp,
                                             h, xi, d0)
-        r_ref = float(r_ref_)
+    drift_ = device_fac.drift_scalar(cp, h, xi, d0)
+    pend = device_fac.prepare_async(cp, h, xi, d0) \
+        if drift_ is not None else None
+    fetch = [rn_, Pi_, r_ref_, drift_, pend[1] if pend else None]
+    vals = jax.device_get(tuple(x for x in fetch if x is not None))
+    vals = iter(vals)
+    rn = float(next(vals))
+    Pi0 = float(next(vals))
+    if r_ref_ is not None:
+        r_ref = float(next(vals))
         if shared is not None:
             shared["r_ref"] = r_ref
             shared["r_ref_age"] = 0
-    rn = float(rn_)
-    Pi0 = float(Pi_)
+    drift = float(next(vals)) if drift_ is not None else None
+    same = bool(next(vals)) if pend is not None else None
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
     eps = float(jnp.finfo(d0.dtype).eps)
-
-    if device_fac is None:
-        device_fac = PersistentDeviceFactorMI(data, mi, co, ss, p, q)
 
     d = d0
     stall = 0
@@ -722,16 +809,42 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     # refreshes the Woodbury seam correction at the CURRENT xi (xi
     # staleness is the one kind the certificate policy cannot ride:
     # measured IR rho O(0.3-1) along the warm Newton direction).
-    device_fac.ensure(cp, h, xi, d, stale_tol=0.2, why="mi-entry")
-    device_fac.prepare(cp, h, xi, d)
+    # commit the pipelined entry: factor fresh when absent or grossly
+    # stale, else adopt the speculated Woodbury seam update
+    if drift is None:
+        device_fac.ensure(cp, h, xi, d, stale_tol=0.2, why="mi-entry")
+        device_fac.prepare(cp, h, xi, d)
+    elif drift > 0.2:
+        device_fac.ensure(cp, h, xi, d, force=True, why="mi-entry")
+        device_fac.prepare(cp, h, xi, d)
+    elif pend is not None:
+        device_fac.finish_prepare(pend, same, cp, h, xi, d)
     while (it < max_it and rn > atol and rn > rtol * r_ref):
-        # fused direction + certificate + Armijo slope (one dispatch);
+        # DIRECTION+TRIAL PIPELINE: dispatch the fused IR direction
+        # (certificate + Armijo slope) and the alpha=1 trial
+        # back-to-back, then fetch all four scalars in one batched
+        # readback — the common warm case (certificate passes, alpha=1
+        # accepted) pays ONE tunnel roundtrip per Newton iteration.
         # tol=1e-3 is inexact-Newton forcing — with 3 IR sweeps the
         # certificate is ratio ~ rho^3, so a mildly stale factor
         # (rho ~ 0.1) passes at 1e-3 but refactors at the adjoint-grade
         # 1e-6; the line search / next residual measure actual progress
-        delta, slope = device_fac.newton_direction(cp, h, xi, d, r,
-                                                   tol=1e-3)
+        pre_trial = None
+        delta, ratio_, slope_, n_used = device_fac.dir_async(
+            cp, h, xi, d, r, tol=1e-3)
+        d_try, r_try, rn_try_, Pi_try_ = _jit_trial_mi(
+            data, mi, co, ss, p, q, cp, h, xi, d, delta, 1.0)
+        ratio, slope, rn_try, Pi_try = (
+            float(x) for x in jax.device_get(
+                (ratio_, slope_, rn_try_, Pi_try_)))
+        if device_fac.finish_ir(n_used, ratio, tol=1e-3,
+                                tag="dir-pipe"):
+            pre_trial = (d_try, r_try, rn_try_, rn_try, Pi_try)
+        else:
+            # certificate failed (stale factor): the self-validating
+            # direction loop re-sizes sweeps / refactors as needed
+            delta, slope = device_fac.newton_direction(cp, h, xi, d, r,
+                                                       tol=1e-3)
         # see solver/implicit.newton_solve_host: "done" also requires
         # residual stagnation, not just a sub-resolution slope. The
         # 64x-eps margin matters: at |slope| ~ a few eps*|Pi| the
@@ -746,30 +859,37 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
         # state — no separate res/pot program afterwards
         alpha = 1.0
         ls_fail = False
-        for _ in range(1 if slope_tiny else 30):
-            d_try, r_try, rn_try_, Pi_try_ = _jit_trial_mi(
-                data, mi, co, ss, p, q, cp, h, xi, d, delta, alpha)
-            Pi_try = float(Pi_try_)
+        rn_try = rn_try if pre_trial is not None else None
+        for j in range(1 if slope_tiny else 30):
+            if j == 0 and pre_trial is not None:
+                d_try, r_try, rn_try_, rn_try, Pi_try = pre_trial
+            else:
+                d_try, r_try, rn_try_, Pi_try_ = _jit_trial_mi(
+                    data, mi, co, ss, p, q, cp, h, xi, d, delta, alpha)
+                Pi_try = float(Pi_try_)
+                rn_try = None
             if slope_tiny or Pi_try <= (Pi0 + 1e-4 * alpha * slope
                                         + 16 * eps * abs(Pi0)):
                 break
             alpha *= 0.5
         else:
             ls_fail = True
+        if rn_try is None:
+            rn_try = float(rn_try_)
         if ls_fail and not refactored_on_stall:
             device_fac.ensure(cp, h, xi, d, force=True)
             refactored_on_stall = True
             continue
         if not ls_fail:
             refactored_on_stall = False  # re-arm (see implicit.py)
-        if slope_tiny and float(rn_try_) >= rn:
+        if slope_tiny and rn_try >= rn:
             # the sub-resolution full step WORSENED |r|: the step was
             # noise — keep the better current iterate and stop
             break
         rn_prev = rn
         d = d_try
         r = r_try
-        rn = float(rn_try_)
+        rn = rn_try
         Pi_new = Pi_try
         it += 1
         if verbose:
@@ -817,17 +937,60 @@ def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g,
     if _mode() == "mixed":
         fac = device_fac if device_fac is not None \
             else PersistentDeviceFactorMI(data, mi, co, ss, p, q)
-        # loose drift check: exact_solve's certificate guarantees the
-        # adjoint grade (1e-6) against a warm-stale factor
-        fac.ensure(cp, h, xi, d, stale_tol=0.2, why="mi-adjoint")
-        fac.prepare(cp, h, xi, d)
-        x0 = None
+        b = g * data.free
+        key = x0 = None
         if lam_ws is not None:
             key = jnp.concatenate([cp.ravel(), h.ravel(), xi.ravel(),
                                    g.ravel()])
             x0 = lam_ws.predict(key, None)
-        lam = fac.exact_solve(cp, h, xi, d, g * data.free,
-                              x0=x0) * data.free
+        if fac._ref is not None:
+            # ADJOINT PIPELINE (see implicit._pipelined_device_adjoint):
+            # queue drift check + Woodbury seam update + (seeded) jvp-IR
+            # solve against the SPECULATED correction + free-mask + the
+            # residual vjp back-to-back; fetch drift/same/ratio in ONE
+            # batched readback. Exactness rests only on the in-program
+            # certificate — a failed certificate discards the
+            # speculated vjp and falls back to the self-validating
+            # exact_solve.
+            drift_ = fac.drift_scalar(cp, h, xi, d)
+            pend = fac.prepare_async(cp, h, xi, d)
+            V_spec = pend[0] if pend is not None else None
+            x, ratio_, n = fac.ir_solve_async(cp, h, xi, d, b, x0=x0,
+                                              V=V_spec)
+            lam = x * data.free
+            out = _jit_res_vjp_mi(data, mi, co, ss, p, q, d, cp, h, xi,
+                                  lam)
+            fetch = [drift_, ratio_, pend[1] if pend else None]
+            vals = iter(jax.device_get(
+                tuple(v for v in fetch if v is not None)))
+            drift = float(next(vals))
+            ratio = float(next(vals))
+            same = bool(next(vals)) if pend is not None else True
+            ok = fac.finish_ir(n, ratio,
+                               tag="exact-x0-pipe" if x0 is not None
+                               else "exact-pipe")
+            if ok:
+                # certificate passed → the solve is exact no matter how
+                # good the speculated preconditioner was; commit the
+                # seam state (finish_prepare refactors on a seam-
+                # support escape so FUTURE solves precondition well)
+                if pend is not None:
+                    fac.finish_prepare(pend, same, cp, h, xi, d)
+                if lam_ws is not None:
+                    lam_ws.update(key, lam)
+                return out
+            # speculation lost: commit the seam state (refactors on a
+            # seam-support escape), refactor on gross staleness, then
+            # revalidate through the self-validating slow path
+            if pend is not None:
+                fac.finish_prepare(pend, same, cp, h, xi, d)
+            if drift > 0.2 and (pend is None or same):
+                fac.ensure(cp, h, xi, d, force=True, why="mi-adjoint")
+                fac.prepare(cp, h, xi, d)
+        else:
+            fac.ensure(cp, h, xi, d, why="mi-adjoint")
+            fac.prepare(cp, h, xi, d)
+        lam = fac.exact_solve(cp, h, xi, d, b) * data.free
         if lam_ws is not None:
             lam_ws.update(key, lam)
         return _jit_res_vjp_mi(data, mi, co, ss, p, q, d, cp, h, xi, lam)

@@ -39,7 +39,7 @@ def main():
         sys_ = wing.build(num_el=num_el, p=3)
         data, cp, h = sys_.data, sys_.cp, sys_.h_init
         d = sys_.zero_displacement()
-        n_qp = int(sys_.stack.max_el) * 16 * sys_.num_splines
+        n_qp = int(sys_.stack.wq.shape[1]) * 16 * sys_.num_splines
         # warm up (compile)
         t0 = time.perf_counter()
         r, rn, Pi = _jit_res_pot(data, cp, h, d)

@@ -138,7 +138,12 @@ def main():
 
     def opt_iteration(amp, d0, xi0):
         cp = make_cp(amp)
-        xi = c2x.solve(cp, jnp.clip(ws_xi.predict(amp, xi0), 0.0, 1.0))
+        xi_seed = ws_xi.predict(amp, xi0)
+        if xi_seed is not None:
+            # clamp an overshooting secant seed to the parametric
+            # domain (see operations/disp_mi_imop.solve_nonlinear)
+            xi_seed = jnp.clip(xi_seed, 0.0, 1.0)
+        xi = c2x.solve(cp, xi_seed)
         d0 = ws_d.predict(amp, d0)
         if mixed:
             d, its, rn = newton_solve_mi_host(

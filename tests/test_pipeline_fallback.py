@@ -1,0 +1,213 @@
+"""Speculative dispatch pipelines (round 3): the warm solver paths
+dispatch drift check + direction/IR solve + downstream work
+back-to-back and fetch one batched readback — SPECULATING that the
+persistent factor is fresh enough. Exactness must rest only on the
+in-program convergence certificate, never on the speculation. These
+tests pin the failure branches with deliberately stale factors:
+gradients must match the dense-direct oracle bit-for-certificate, and
+the cert/refactor logs must show the speculation actually failed (so
+the tests are not vacuous).
+
+Role (reference): the adjoint solves the reference delegates to
+PETSc/MUMPS, GOLDFISH/utils/opt_utils.py:156-209 — exactness there is
+a direct factorization property; here it is the IR certificate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from goldfish_tpu.models import plate, tbeam
+from goldfish_tpu.physics.coupling import InterfaceSpec
+from goldfish_tpu.solver import devicechol, linalg
+from goldfish_tpu.solver.implicit import (
+    _adjoint_solve_direct,
+    adjoint_solve,
+    newton_solve_host,
+)
+from goldfish_tpu.solver.system_mi import (
+    MINonMatchingSystem,
+    PersistentDeviceFactorMI,
+    _adjoint_solve_mi_direct,
+    adjoint_solve_mi,
+    newton_solve_mi_host,
+)
+
+
+@pytest.fixture
+def mixed_mode():
+    linalg.set_mode("mixed")
+    yield
+    linalg.set_mode(None)
+
+
+def _rel(a, b):
+    a = np.concatenate([np.ravel(np.asarray(x)) for x in a])
+    b = np.concatenate([np.ravel(np.asarray(x)) for x in b])
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-300)
+
+
+def test_adjoint_pipeline_stale_factor_falls_back(mixed_mode):
+    """adjoint_solve speculates the vjp against the pipelined IR
+    solution; with a grossly stale factor the certificate must FAIL
+    and the fallback must still deliver the oracle gradient."""
+    sys = plate.build(num_el=3, p=2, num_patches=3)
+    data, cp, h0 = sys.data, sys.cp, sys.h_init
+    fac = devicechol.PersistentDeviceFactor(data)
+    d0, _, _ = newton_solve_host(data, cp, h0, sys.zero_displacement(),
+                                 rtol=1e-10, device_fac=fac)
+
+    # converged state at a GROSSLY different design (bending ~ h^3:
+    # K is ~8x off), solved with a throwaway factor so `fac` stays
+    # pinned at (cp, h0, d0)
+    h1 = h0 * 2.0
+    d1, _, _ = newton_solve_host(data, cp, h1, sys.zero_displacement(),
+                                 rtol=1e-10,
+                                 device_fac=devicechol.
+                                 PersistentDeviceFactor(data))
+    fac.ensure(cp, h0, d0, force=True)
+
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.normal(size=np.asarray(d1).shape)) * data.free
+    n_cert = len(fac.cert_log)
+    got = adjoint_solve(data, d1, cp, h1, g, device_fac=fac)
+    want = _adjoint_solve_direct(data, d1, cp, h1, g)
+    assert _rel(got, want) < 1e-8, _rel(got, want)
+
+    # not vacuous: the speculated pipeline attempt must have failed its
+    # certificate before the fallback succeeded
+    new = fac.cert_log[n_cert:]
+    assert new and new[0][0] == "exact-pipe" and new[0][2] > 1e-6, new
+    assert new[-1][2] <= 1e-6, new
+
+
+def test_adjoint_pipeline_warm_hit(mixed_mode):
+    """The warm fast path: certificate passes in the single pipelined
+    dispatch and the result equals the oracle."""
+    sys = plate.build(num_el=3, p=2, num_patches=3)
+    data, cp, h0 = sys.data, sys.cp, sys.h_init
+    fac = devicechol.PersistentDeviceFactor(data)
+    d0, _, _ = newton_solve_host(data, cp, h0, sys.zero_displacement(),
+                                 rtol=1e-10, device_fac=fac)
+    # the Newton solve leaves the factor pinned at an EARLIER iterate
+    # (K(d) moves substantially from d=0 to equilibrium on this plate)
+    # — refresh at the converged state so the pipeline attempt is
+    # genuinely warm
+    fac.ensure(cp, h0, d0, force=True)
+    rng = np.random.default_rng(4)
+    g = jnp.asarray(rng.normal(size=np.asarray(d0).shape)) * data.free
+    n_cert = len(fac.cert_log)
+    got = adjoint_solve(data, d0, cp, h0, g, device_fac=fac)
+    want = _adjoint_solve_direct(data, d0, cp, h0, g)
+    assert _rel(got, want) < 1e-8, _rel(got, want)
+    new = fac.cert_log[n_cert:]
+    assert len(new) == 1 and new[0][0] == "exact-pipe" \
+        and new[0][2] <= 1e-6, new
+
+
+def test_newton_pipeline_stale_factor_refactors(mixed_mode):
+    """newton_solve_host speculates direction+trial against the current
+    factor; past stale_tol the pipelined drift check must force a
+    refactor and the solve must still converge to the oracle state."""
+    sys = plate.build(num_el=3, p=2, num_patches=3)
+    data, cp, h0 = sys.data, sys.cp, sys.h_init
+    fac = devicechol.PersistentDeviceFactor(data)
+    d0, _, _ = newton_solve_host(data, cp, h0, sys.zero_displacement(),
+                                 rtol=1e-10, device_fac=fac)
+    h1 = h0 * 2.0
+    n_ref = len(fac.refactor_log)
+    d1, its, rn = newton_solve_host(data, cp, h1,
+                                    sys.zero_displacement(),
+                                    rtol=1e-10, device_fac=fac)
+    assert any(w == "drift" for w, _ in fac.refactor_log[n_ref:]), \
+        fac.refactor_log[n_ref:]
+    d1_ref, _, _ = newton_solve_host(
+        data, cp, h1, sys.zero_displacement(), rtol=1e-10,
+        device_fac=devicechol.PersistentDeviceFactor(data))
+    assert _rel((d1,), (d1_ref,)) < 1e-8
+
+
+def _mi_tbeam(num_el=4, p=3, n_pts=10):
+    w2 = tbeam.WIDTH / 2
+    pts0 = [[-w2, 0, 0], [w2, 0, 0], [-w2, tbeam.LENGTH, 0],
+            [w2, tbeam.LENGTH, 0]]
+    pts1 = [[0, 0, 0], [0, 0, -tbeam.DEPTH], [0, tbeam.LENGTH, 0],
+            [0, tbeam.LENGTH, -tbeam.DEPTH]]
+    srf0 = tbeam.create_surf(pts0, max(num_el // 2, 1), num_el, p)
+    srf1 = tbeam.create_surf(pts1, max((num_el + 1) // 2, 1),
+                             num_el + 1, p)
+    specs = [InterfaceSpec(
+        pair=(0, 1),
+        xi_ends_A=np.array([[0.5, 0.0], [0.5, 1.0]]),
+        xi_ends_B=np.array([[0.0, 0.0], [0.0, 1.0]]),
+        n_mortar_el=n_pts - 1)]
+    sys = MINonMatchingSystem([srf0, srf1], tbeam.E, tbeam.NU,
+                              tbeam.H_TH, specs=specs,
+                              n_pts_list=[n_pts])
+    sys.add_side_bc(0, direction=1, side=0, n_layers=1)
+    sys.add_side_bc(1, direction=1, side=0, n_layers=1)
+    sys.add_point_load(0, [1.0, 1.0], [0.0, 0.0, 10.0])
+    return sys
+
+
+def test_mi_adjoint_pipeline_stale_factor_falls_back(mixed_mode):
+    """adjoint_solve_mi speculates the vjp against the pipelined IR
+    solve (with a SPECULATED Woodbury seam correction); a grossly
+    stale factor must fail the certificate and fall back to the
+    self-validating exact_solve — gradient still equals the dense
+    oracle."""
+    sys = _mi_tbeam()
+    data, mi, co, ss = sys.data, sys.mi, sys.co, sys.ss
+    p, q = sys.pdeg, sys.qdeg
+    h0 = sys.h_init
+    cp = sys.cp
+    xi = sys.c2x.solve(cp)
+    fac = PersistentDeviceFactorMI(data, mi, co, ss, p, q)
+    d0, _, _ = newton_solve_mi_host(data, mi, co, ss, p, q, cp, h0, xi,
+                                    sys.zero_displacement(),
+                                    rtol=1e-9, device_fac=fac)
+
+    h1 = h0 * 2.0
+    d1, _, _ = newton_solve_mi_host(
+        data, mi, co, ss, p, q, cp, h1, xi, sys.zero_displacement(),
+        rtol=1e-9,
+        device_fac=PersistentDeviceFactorMI(data, mi, co, ss, p, q))
+    fac.ensure(cp, h0, xi, d0, force=True)
+    fac.prepare(cp, h0, xi, d0)
+
+    rng = np.random.default_rng(5)
+    g = jnp.asarray(rng.normal(size=np.asarray(d1).shape)) * data.free
+    n_cert = len(fac.cert_log)
+    got = adjoint_solve_mi(data, mi, co, ss, p, q, d1, cp, h1, xi, g,
+                           device_fac=fac)
+    want = _adjoint_solve_mi_direct(data, mi, co, ss, p, q, d1, cp, h1,
+                                    xi, g)
+    assert _rel(got, want) < 1e-8, _rel(got, want)
+    new = fac.cert_log[n_cert:]
+    assert new and new[0][0] == "exact-pipe" and new[0][2] > 1e-6, new
+    assert new[-1][2] <= 1e-6, new
+
+
+def test_mi_adjoint_pipeline_warm_hit(mixed_mode):
+    """MI warm fast path: one pipelined dispatch, certificate passes,
+    oracle-exact output."""
+    sys = _mi_tbeam()
+    data, mi, co, ss = sys.data, sys.mi, sys.co, sys.ss
+    p, q = sys.pdeg, sys.qdeg
+    h0, cp = sys.h_init, sys.cp
+    xi = sys.c2x.solve(cp)
+    fac = PersistentDeviceFactorMI(data, mi, co, ss, p, q)
+    d0, _, _ = newton_solve_mi_host(data, mi, co, ss, p, q, cp, h0, xi,
+                                    sys.zero_displacement(),
+                                    rtol=1e-9, device_fac=fac)
+    rng = np.random.default_rng(6)
+    g = jnp.asarray(rng.normal(size=np.asarray(d0).shape)) * data.free
+    n_cert = len(fac.cert_log)
+    got = adjoint_solve_mi(data, mi, co, ss, p, q, d0, cp, h0, xi, g,
+                           device_fac=fac)
+    want = _adjoint_solve_mi_direct(data, mi, co, ss, p, q, d0, cp, h0,
+                                    xi, g)
+    assert _rel(got, want) < 1e-8, _rel(got, want)
+    new = fac.cert_log[n_cert:]
+    assert len(new) == 1 and new[0][0] == "exact-pipe" \
+        and new[0][2] <= 1e-6, new

@@ -449,6 +449,24 @@ class PersistentDeviceFactorMI:
     substitution directions, self-validating jvp-IR exact solves with
     the same measured-contraction adaptive sweep policy."""
 
+    # Opportunistic-refresh threshold on the MEASURED per-sweep IR
+    # contraction. The MI path never refreshes on moderate drift (the
+    # Woodbury correction rides xi staleness), so a factor pinned at a
+    # bad state — e.g. the last dir-cert refactor of a COLD solve lands
+    # on an unconverged mid-Newton iterate, leaving element blocks
+    # ~3e-2 d-stale — survives the whole warm loop: certificates still
+    # pass, but at rho ~0.26/sweep every direction costs n=6 and every
+    # adjoint n=16 jvp sweeps (measured round 3, scripts/diag_mi_wb.py;
+    # fresh-grade is n=2). Above this rho, solve entries force ONE
+    # refactorization at the current (converged-warm) state: ~1.5 s
+    # once vs ~2 s of extra sweeps EVERY iteration. 0.1, not lower:
+    # a FRESH factor legitimately measures rho ~0.07 when the design
+    # steps are 1e-2-sized (within-solve d-motion, not factor quality
+    # — measured in tests/test_pipeline_fallback.py) and refreshing on
+    # that would thrash; 0.1 also keeps n_for(1e-6, rho) on the <=8
+    # side of the sweep menu's 8 -> 16 jump.
+    rho_refresh = 0.1
+
     def __init__(self, data, mi, co, ss, p, q, nb=256, mb=16,
                  stale_tol=5e-3, n_ir=3):
         from goldfish_tpu.solver.devicechol import PersistentDeviceFactor
@@ -817,6 +835,14 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     elif drift > 0.2:
         device_fac.ensure(cp, h, xi, d, force=True, why="mi-entry")
         device_fac.prepare(cp, h, xi, d)
+    elif (device_fac.rho_est > device_fac.rho_refresh
+          and drift > device_fac.stale_tol):
+        # the factor is persistently mediocre (measured contraction,
+        # not a drift heuristic — see rho_refresh): refresh it HERE,
+        # at a converged-warm iterate, rather than paying 3x the jvp
+        # sweeps on every direction/adjoint of this and future solves
+        device_fac.ensure(cp, h, xi, d, force=True, why="mi-entry-rho")
+        device_fac.prepare(cp, h, xi, d)
     elif pend is not None:
         device_fac.finish_prepare(pend, same, cp, h, xi, d)
     while (it < max_it and rn > atol and rn > rtol * r_ref):
@@ -980,11 +1006,14 @@ def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g,
                     lam_ws.update(key, lam)
                 return out
             # speculation lost: commit the seam state (refactors on a
-            # seam-support escape), refactor on gross staleness, then
-            # revalidate through the self-validating slow path
+            # seam-support escape), refactor on gross staleness OR a
+            # measured-mediocre factor (rho_refresh), then revalidate
+            # through the self-validating slow path
             if pend is not None:
                 fac.finish_prepare(pend, same, cp, h, xi, d)
-            if drift > 0.2 and (pend is None or same):
+            if (pend is None or same) and (
+                    drift > 0.2 or (fac.rho_est > fac.rho_refresh
+                                    and drift > fac.stale_tol)):
                 fac.ensure(cp, h, xi, d, force=True, why="mi-adjoint")
                 fac.prepare(cp, h, xi, d)
         else:

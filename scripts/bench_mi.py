@@ -39,7 +39,11 @@ from goldfish_tpu.config import use_x64
 
 use_x64(True)
 
-REF = "/tmp/bench_mi_cpu.json"
+# the CPU baseline lives IN THE REPO: a /tmp reference vanished between
+# the CPU and TPU runs once (round 3) and the TPU run silently paired
+# itself with a stale partial baseline (8.39 s instead of 16.95 s)
+REF = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "MI_BENCH_CPU.json")
 NUM_EL = 40
 P_DEG = 3
 N_PTS = 17
@@ -186,6 +190,13 @@ def main():
     print(f"cold {t_cold:.2f}s, warm {t:.3f}s/it "
           f"(all {[round(x, 3) for x in times]}), J={float(J):.6e}, "
           f"dJ/damp={float(g):.6e}", flush=True)
+    if fac is not None:
+        # amortization diagnostics: steady state should show ZERO
+        # refactorizations after the cold solve and passing pipelined
+        # certificates (tags *-pipe); anything else explains a warm-
+        # time regression
+        print(f"refactor_log: {fac.refactor_log}", flush=True)
+        print(f"cert_log tail: {fac.cert_log[-12:]}", flush=True)
 
     if CPU_MODE:
         with open(REF, "w") as f:

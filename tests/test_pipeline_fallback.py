@@ -188,6 +188,56 @@ def test_mi_adjoint_pipeline_stale_factor_falls_back(mixed_mode):
     assert new[-1][2] <= 1e-6, new
 
 
+def test_mi_rho_refresh_unpins_mediocre_factor(mixed_mode):
+    """The round-3 MI bench regression: a factor pinned at a bad state
+    (e.g. the last dir-cert refactor of a COLD solve lands on an
+    unconverged mid-Newton iterate) passes every certificate at
+    rho ~0.26/sweep forever — no drift heuristic fires, and every
+    direction/adjoint pays 3x the jvp sweeps. The rho-aware entry
+    refresh must spend ONE refactorization at the next warm entry and
+    restore fresh-grade contraction (scripts/diag_mi_wb.py measured
+    n=6 certs ~3e-4 before, n=2 certs ~1e-7..1e-11 after)."""
+    sys = _mi_tbeam()
+    data, mi, co, ss = sys.data, sys.mi, sys.co, sys.ss
+    p, q = sys.pdeg, sys.qdeg
+    h0, cp = sys.h_init, sys.cp
+    xi = sys.c2x.solve(cp)
+    fac = PersistentDeviceFactorMI(data, mi, co, ss, p, q)
+    d0, _, _ = newton_solve_mi_host(data, mi, co, ss, p, q, cp, h0, xi,
+                                    sys.zero_displacement(),
+                                    rtol=1e-9, device_fac=fac)
+    # pin the factor at a mid-Newton-grade iterate (~3e-2 d-stale, the
+    # drift scripts/diag_mi_wb.py measured — BELOW the 0.2 gross-
+    # staleness branch) and seed rho_est with the measured-mediocre
+    # value the warm loop's finish_ir would have left (the policy keys
+    # on MEASURED contraction, not a drift heuristic)
+    fac.ensure(cp, h0, xi, 0.97 * d0, force=True, why="test-pin")
+    fac.prepare(cp, h0, xi, 0.97 * d0)
+    fac.rho_est = 0.26
+
+    m = sys.metas[1]
+    cp1 = cp.at[1, : m.n_cp, 0].add(1e-2)  # drift > stale_tol, << 0.2
+    xi1 = sys.c2x.solve(cp1, xi)
+    n_ref = len(fac.refactor_log)
+    d1, _, rn1 = newton_solve_mi_host(data, mi, co, ss, p, q, cp1, h0,
+                                      xi1, d0, rtol=1e-9,
+                                      device_fac=fac)
+    whys = [w for w, _ in fac.refactor_log[n_ref:]]
+    assert whys == ["mi-entry-rho"], fac.refactor_log[n_ref:]
+    assert rn1 < 1e-6
+    # fresh-grade contraction restored: the next warm solve must ride
+    # the refreshed factor with NO further refactorizations
+    assert fac.rho_est < fac.rho_refresh, fac.rho_est
+    cp2 = cp.at[1, : m.n_cp, 0].add(1.1e-2)
+    xi2 = sys.c2x.solve(cp2, xi1)
+    n_ref = len(fac.refactor_log)
+    d2, _, rn2 = newton_solve_mi_host(data, mi, co, ss, p, q, cp2, h0,
+                                      xi2, d1, rtol=1e-9,
+                                      device_fac=fac)
+    assert fac.refactor_log[n_ref:] == [], fac.refactor_log[n_ref:]
+    assert rn2 < 1e-6
+
+
 def test_mi_adjoint_pipeline_warm_hit(mixed_mode):
     """MI warm fast path: one pipelined dispatch, certificate passes,
     oracle-exact output."""

@@ -138,20 +138,27 @@ class OptProblem:
         if optimizer.upper() == "SLSQP":
             return self.run_slsqp(maxiter=maxiter, tol=tol,
                                   verbose=verbose)
-        try:
-            import pyoptsparse  # noqa: F401
-        except ModuleNotFoundError as e:
-            raise ModuleNotFoundError(
-                f"optimizer {optimizer!r} needs pyoptsparse, which is "
-                "not installed in this environment; use 'SLSQP'") from e
         return self._run_pyoptsparse(optimizer, maxiter=maxiter,
                                      tol=tol, verbose=verbose,
                                      opt_settings=opt_settings or {})
 
+    @staticmethod
+    def _import_pyoptsparse():
+        """Real pyoptsparse when installed, else the in-repo
+        API-subset shim (goldfish_tpu/pyoptsparse_shim.py) — the same
+        gating move as om_comps/components.py:29 for OpenMDAO."""
+        try:
+            import pyoptsparse
+            return pyoptsparse
+        except ModuleNotFoundError:
+            from goldfish_tpu import pyoptsparse_shim
+            return pyoptsparse_shim
+
     def _run_pyoptsparse(self, optimizer, maxiter, tol, verbose,
                          opt_settings):
-        """pyOptSparse driver (SNOPT et al.); exercised only where the
-        package exists (not baked into this image).
+        """pyOptSparse driver (SNOPT et al.); runs on the real package
+        when installed, else on the executable in-repo API shim
+        (pyoptsparse_shim.py) so this path is exercised either way.
 
         Sensitivities are ANALYTIC: the same jax.value_and_grad /
         jacrev adjoint totals the SLSQP path uses, handed to
@@ -160,7 +167,7 @@ class OptProblem:
         pyOptSparse sees the SCALED design space (value = scaler*init,
         like run_slsqp), matching `_unflatten`'s descaling."""
         import numpy as np
-        import pyoptsparse
+        pyoptsparse = self._import_pyoptsparse()
 
         names = [dv.name for dv in self._dvs]
         offs, _ = self._pack_info()
@@ -241,14 +248,25 @@ class OptProblem:
                     kw["upper"] = c.scaler * c.upper
             prob.addConGroup(c.name, n, **kw)
         opt_cls = getattr(pyoptsparse, optimizer.upper())
-        opt = opt_cls(options=dict(opt_settings))
+        # run()'s generic maxiter/tol, translated to each wrapper's own
+        # option names; explicit opt_settings win.
+        generic = {
+            "SNOPT": {"Major iterations limit": int(maxiter),
+                      "Major optimality tolerance": float(tol)},
+            "IPOPT": {"max_iter": int(maxiter), "tol": float(tol)},
+            "SLSQP": {"MAXIT": int(maxiter), "ACC": float(tol)},
+            "PSQP": {"MIT": int(maxiter), "TOLG": float(tol)},
+        }.get(optimizer.upper(), {})
+        opt = opt_cls(options={**generic, **dict(opt_settings)})
         sol = opt(prob, sens=sens)
         x = jnp.concatenate([jnp.asarray(sol.xStar[n]).ravel()
                              for n in names])
         xdict = {k: np.asarray(v)
                  for k, v in self._unflatten(x).items()}
-        return OptResult(x=xdict, fun=float(sol.fStar), nit=-1,
-                         success=True, message=str(sol.optInform),
+        return OptResult(x=xdict, fun=float(sol.fStar),
+                         nit=int(getattr(sol, "nIter", -1)),
+                         success=bool(getattr(sol, "success", True)),
+                         message=str(sol.optInform),
                          history=[])
 
     def run_slsqp(self, maxiter=100, tol=1e-9, verbose=False):

@@ -1,26 +1,49 @@
 #!/usr/bin/env python
 """eVTOL-class wing shape optimization with MOVING spar/rib seams
-through the OpenMDAO graph.
+through the OpenMDAO graph — the reference's full driver-variant
+family.
 
 The counterpart of the reference's hardest demo family
 (/root/reference/demos_om/shape_opt_mint/eVTOL/
-evtol_wing_shopt_rspar_srib.py:1- and its custom align comp
-custom_comps/evtol_rspar_srib_align_comp.py:1-): a tapered, swept
-4-patch wing box (upper skin, lower skin, spar web, rib) where the
-spar's chordwise position (root + tip fractions) and the rib's
-spanwise station are the design variables. The spar-skin and rib-skin
+evtol_wing_shopt_{rspar_rrib,rspar_srib,sspar_srib,qspar_rrib,
+rspar_rrib_outer}.py and the four custom align comps in
+custom_comps/evtol_*_align_comp.py): a tapered, swept 4-patch wing
+box (upper skin, lower skin, spar web, rib) where the spar/rib
+positions are the design variables. The spar-skin and rib-skin
 intersections are DESIGN-DEPENDENT seams solved by the implicit
 CP -> xi map (CPIGA2XiComp) and differentiated through both implicit
 solves.
 
 The custom `EvtolSparRibAlignComp` mirrors the reference's
-cross-field coupling: the rib's x control points are SLAVED to its
-spanwise position through the planform's leading/trailing-edge lines
-(x = a0*y + a1 — reference comp lines :1-45), and the spar's x field
-follows the chord-fraction interpolation — one affine map from the
-3 design dofs to the full flat CP vector, with constant partials.
+cross-field coupling (one affine map from the design dofs to the
+full flat CP vector, with constant partials): the rib's x control
+points are SLAVED to its spanwise position through the planform's
+leading/trailing-edge lines (x = a0*y + a1 — reference comp lines
+:1-45), and the spar's x field follows the chord-fraction
+interpolation.  Variant = spar mode x rib mode, mirroring the
+reference's dof ladders (custom_comps/evtol_qspar_rrib_align_comp.py
+num_x_spar_input = 2/4/6):
 
-Run: python demos/evtol_wing_shopt_mi.py
+  rspar : rigid spar    — 2 dofs, chord fraction at root + tip
+  sspar : straight spar — 4 dofs, root/tip x bottom/top (web can lean)
+  qspar : quadratic spar— 6 dofs, root/mid/tip x bottom/top
+  rrib  : rigid rib     — 1 dof, spanwise station (x slaved to planform)
+  srib  : straight rib  — 2 dofs, front/rear stations (rib can skew)
+
+`rspar_rrib_outer` additionally frees the OUTER MOLD LINE: a
+degree-p Bernstein spanwise height profile z_top(y) whose exact
+knot-insertion images drive the upper-skin z CPs, the spar-web z
+field and the rib top edge together, so the edge-pinned seams stay
+EXACTLY coincident for any profile (the skins are ruled in x and the
+profile is a polynomial in y that both patch bases reproduce
+exactly).  Deviation from the reference noted: the reference's outer
+driver keeps the rib spanwise dof free because its interior members
+are oversized and its intersections are free interior curves; this
+build's seams are edge-exact, so the rib station is pinned in the
+outer variant (a moving rib under a y-varying profile would make the
+CP map bilinear).
+
+Run: python demos/evtol_wing_shopt_mi.py [--variant rspar_srib]
 """
 
 from __future__ import annotations
@@ -132,44 +155,149 @@ def build_system(s_root=0.30, s_tip=0.30, y_rib_frac=0.45, num_el=4,
     return sys
 
 
-def design_map(sys, y_rib0):
-    """Affine map cp_flat = A @ [s_root, s_tip, y_rib] + offset
-    (the custom align comp's matrix; reference:
+VARIANTS = ("rspar_rrib", "rspar_srib", "sspar_srib", "qspar_rrib",
+            "rspar_rrib_outer")
+
+
+def _spar_basis(mode, eta, zeta):
+    """Chord-fraction interpolation bases s(eta, zeta) on the spar web
+    (eta = y/L spanwise, zeta = z/BOX_H through-height).  Dof ladders
+    mirror the reference's num_x_spar_input = 2/4/6
+    (custom_comps/evtol_qspar_rrib_align_comp.py:83)."""
+    if mode == "rspar":                     # rigid: root + tip
+        return [1.0 - eta, eta]
+    if mode == "sspar":                     # straight, web can lean
+        return [(1.0 - eta) * (1.0 - zeta), eta * (1.0 - zeta),
+                (1.0 - eta) * zeta, eta * zeta]
+    if mode == "qspar":                     # quadratic in span
+        l0 = 2.0 * (eta - 0.5) * (eta - 1.0)
+        l1 = -4.0 * eta * (eta - 1.0)
+        l2 = 2.0 * eta * (eta - 0.5)
+        return [l0 * (1.0 - zeta), l1 * (1.0 - zeta), l2 * (1.0 - zeta),
+                l0 * zeta, l1 * zeta, l2 * zeta]
+    raise ValueError(mode)
+
+
+def _bernstein(p, t):
+    from math import comb
+    return np.array([comb(p, j) * t ** j * (1.0 - t) ** (p - j)
+                     for j in range(p + 1)])
+
+
+def _profile_operator(knots, p):
+    """Exact knot-insertion operator from the degree-p Bernstein
+    (single-element) space into the patch direction (knots, p): the
+    z-profile polynomial is reproduced EXACTLY in the patch basis, so
+    surfaces slaved through it stay coincident along the seams."""
+    from goldfish_tpu.ops.refine import refine_knots_operator
+
+    bern = np.concatenate([np.zeros(p + 1), np.ones(p + 1)])
+    interior = np.asarray(knots, dtype=np.float64)[p + 1:-(p + 1)]
+    T, new_knots = refine_knots_operator(bern, p, interior)
+    assert np.allclose(new_knots, np.asarray(knots, dtype=np.float64))
+    return T
+
+
+def design_map(sys, y_rib0, variant="rspar_rrib"):
+    """Affine map cp_flat = A @ x_design + offset (the custom align
+    comp's matrix; reference:
     custom_comps/evtol_rspar_srib_align_comp.py:95-107 builds the same
-    cross-field derivative blocks)."""
+    cross-field derivative blocks).  Returns (A, offset, x0, lower,
+    upper)."""
+    spar_mode, rib_mode = variant.split("_")[:2]
+    outer = variant.endswith("_outer")
     lay = CPLayout(sys.metas, sys.stack.max_cp)
     cp0 = np.array(lay.to_flat(sys.cp), copy=True)   # (n_flat, 3)
     n_full = cp0.size
-    A = np.zeros((n_full, 3))
-    offset = cp0.ravel().copy()
     offs = np.concatenate([[0], np.cumsum([m.n_cp for m in sys.metas])])
     L = HALF_SPAN
     c_slope = -(1.0 - TAPER) * ROOT_CHORD / L
     sweep_slope = SWEEP / L
 
-    # spar (patch 2): x_cp = x_le(y_cp) + s(y_cp) * chord(y_cp),
-    # s(y) = s_root (1 - y/L) + s_tip (y/L)
+    n_spar = {"rspar": 2, "sspar": 4, "qspar": 6}[spar_mode]
+    n_rib = 0 if outer else {"rrib": 1, "srib": 2}[rib_mode]
+    p = sys.surfs[0].degree[1]               # skin spanwise degree
+    n_z = (p + 1) if outer else 0
+    n_dv = n_spar + n_rib + n_z
+    A = np.zeros((n_full, n_dv))
+    offset = cp0.ravel().copy()
+
+    x0 = np.empty(n_dv)
+    lower = np.empty(n_dv)
+    upper = np.empty(n_dv)
+    s0 = 0.30
+    x0[:n_spar] = s0
+    lower[:n_spar] = 0.15
+    upper[:n_spar] = 0.80
+
+    # spar (patch 2): x_cp = x_le(y_cp) + s(eta, zeta) * chord(y_cp)
     o2 = offs[2]
     for k in range(sys.metas[2].n_cp):
         row = (o2 + k) * 3 + 0
-        y = cp0[o2 + k, 1]
-        A[row, 0] = (1.0 - y / L) * _chord(y)
-        A[row, 1] = (y / L) * _chord(y)
+        y, z = cp0[o2 + k, 1], cp0[o2 + k, 2]
+        basis = _spar_basis(spar_mode, y / L, z / BOX_H)
+        for j, b in enumerate(basis):
+            A[row, j] = b * _chord(y)
         offset[row] = _x_le(y)
 
-    # rib (patch 3): y_cp = y_rib; x_cp = x_le(y_rib) + t chord(y_rib)
-    # with t the CP's chordwise fraction — x is SLAVED to y_rib through
-    # the planform lines (the reference's a0*y + a1 coupling)
+    # rib (patch 3): front/rear stations slaved to the planform lines
+    # x_le(y) = sweep_slope*y and x_te(y) = x_le(y) + chord(y) (the
+    # reference's a0*y + a1 / b0*y + b1 coupling)
     o3 = offs[3]
-    for k in range(sys.metas[3].n_cp):
-        t = (cp0[o3 + k, 0] - _x_le(y_rib0)) / _chord(y_rib0)
-        rx = (o3 + k) * 3 + 0
-        ry = (o3 + k) * 3 + 1
-        A[rx, 2] = sweep_slope + t * c_slope
-        offset[rx] = t * ROOT_CHORD
-        A[ry, 2] = 1.0
-        offset[ry] = 0.0
-    return A, offset
+    if not outer:
+        jr = n_spar
+        for k in range(sys.metas[3].n_cp):
+            t = (cp0[o3 + k, 0] - _x_le(y_rib0)) / _chord(y_rib0)
+            rx = (o3 + k) * 3 + 0
+            ry = (o3 + k) * 3 + 1
+            if rib_mode == "rrib":          # 1 dof: y station
+                A[rx, jr] = sweep_slope + t * c_slope
+                A[ry, jr] = 1.0
+            else:                           # srib: y_front, y_rear
+                A[rx, jr] = (1.0 - t) * sweep_slope
+                A[rx, jr + 1] = t * (sweep_slope + c_slope)
+                A[ry, jr] = 1.0 - t
+                A[ry, jr + 1] = t
+            offset[rx] = t * ROOT_CHORD
+            offset[ry] = 0.0
+        x0[jr:jr + n_rib] = y_rib0
+        lower[jr:jr + n_rib] = 0.25 * L
+        upper[jr:jr + n_rib] = 0.75 * L
+
+    if outer:
+        # Outer-mold-line block: degree-p Bernstein spanwise height
+        # profile z_top(y); exact knot-insertion images drive the
+        # upper skin z, the spar z field (scaled by zeta) and the rib
+        # top edge, keeping every edge-pinned seam coincident.
+        jz = n_spar
+        T_skin = _profile_operator(sys.surfs[0].knots[1], p)
+        T_spar = _profile_operator(sys.surfs[2].knots[1],
+                                   sys.surfs[2].degree[1])
+        n_v0 = sys.metas[0].n_v
+        for k in range(sys.metas[0].n_cp):      # upper skin z
+            rz = (offs[0] + k) * 3 + 2
+            A[rz, jz:] = T_skin[k % n_v0, :]
+            offset[rz] = 0.0
+        n_v2 = sys.metas[2].n_v
+        for k in range(sys.metas[2].n_cp):      # spar web z
+            rz = (o2 + k) * 3 + 2
+            zeta = cp0[o2 + k, 2] / BOX_H
+            A[rz, jz:] = zeta * T_spar[k % n_v2, :]
+            offset[rz] = 0.0
+        bern_rib = _bernstein(p, y_rib0 / L)
+        for k in range(sys.metas[3].n_cp):      # rib top edge z
+            rz = (o3 + k) * 3 + 2
+            zeta = cp0[o3 + k, 2] / BOX_H
+            A[rz, jz:] = zeta * bern_rib
+            offset[rz] = 0.0
+        x0[jz:] = BOX_H
+        lower[jz:] = 0.75 * BOX_H
+        upper[jz:] = 1.75 * BOX_H
+        # pin the root profile dof (the reference's pinned coarse dofs,
+        # evtol_wing_shopt_rspar_rrib_outer.py:56-68): clamped edge
+        # geometry stays fixed
+        lower[jz] = upper[jz] = BOX_H
+    return A, offset, x0, lower, upper
 
 
 class EvtolSparRibAlignComp(_LinearMapComp):
@@ -180,7 +308,7 @@ class EvtolSparRibAlignComp(_LinearMapComp):
 class ShapeOptGroup(om.Group):
     def initialize(self):
         self.options.declare("nonmatching_sys")
-        self.options.declare("design0")   # [s_root, s_tip, y_rib]
+        self.options.declare("design_map")   # (A, offset, x0, lo, up)
 
     def init_parameters(self):
         self.design_name = "spar_rib_design"
@@ -191,11 +319,10 @@ class ShapeOptGroup(om.Group):
 
     def setup(self):
         sys = self.options["nonmatching_sys"]
-        x0 = np.asarray(self.options["design0"], dtype=float)
-        A, offset = design_map(sys, y_rib0=x0[2])
+        A, offset, x0, lower, upper = self.options["design_map"]
 
         inputs_comp = om.IndepVarComp()
-        inputs_comp.add_output(self.design_name, shape=3, val=x0)
+        inputs_comp.add_output(self.design_name, shape=x0.size, val=x0)
         self.add_subsystem("inputs_comp", inputs_comp)
 
         align = EvtolSparRibAlignComp(
@@ -248,8 +375,7 @@ class ShapeOptGroup(om.Group):
 
         self.add_design_var(
             "inputs_comp." + self.design_name,
-            lower=np.array([0.15, 0.15, 0.25 * HALF_SPAN]),
-            upper=np.array([0.80, 0.80, 0.75 * HALF_SPAN]))
+            lower=lower, upper=upper)
         # NOTE: IntXiEdgeComp stays in the graph as a monitored
         # invariant but is NOT handed to SLSQP: unlike the reference's
         # xi formulation (where edge dofs are free and the optimizer
@@ -263,12 +389,12 @@ class ShapeOptGroup(om.Group):
 
 
 def build_problem(num_el=4, p=3, maxiter=6, design0=(0.30, 0.30, 0.45),
-                  h_th=H_TH):
+                  h_th=H_TH, variant="rspar_rrib"):
     s_root, s_tip, y_frac = design0
     sys = build_system(s_root=s_root, s_tip=s_tip, y_rib_frac=y_frac,
                        num_el=num_el, p=p, h_th=h_th)
-    x0 = np.array([s_root, s_tip, y_frac * HALF_SPAN])
-    model = ShapeOptGroup(nonmatching_sys=sys, design0=x0)
+    dmap = design_map(sys, y_rib0=y_frac * HALF_SPAN, variant=variant)
+    model = ShapeOptGroup(nonmatching_sys=sys, design_map=dmap)
     model.init_parameters()
     prob = om.Problem(model=model)
     prob.driver = om.ScipyOptimizeDriver()
@@ -279,8 +405,9 @@ def build_problem(num_el=4, p=3, maxiter=6, design0=(0.30, 0.30, 0.45),
     return prob, sys
 
 
-def main(num_el=4, p=3, maxiter=6, verbose=True):
-    prob, sys = build_problem(num_el=num_el, p=p, maxiter=maxiter)
+def main(num_el=4, p=3, maxiter=6, verbose=True, variant="rspar_rrib"):
+    prob, sys = build_problem(num_el=num_el, p=p, maxiter=maxiter,
+                              variant=variant)
     prob.run_model()
     J0 = float(prob["int_energy_comp.w_int"])
     prob.run_driver()
@@ -288,17 +415,26 @@ def main(num_el=4, p=3, maxiter=6, verbose=True):
     x = np.asarray(prob["inputs_comp.spar_rib_design"])
     edge = np.asarray(prob["int_xi_edge_comp.int_xi_edge"])
     if verbose:
-        print(f"w_int {J0:.6e} -> {J1:.6e} "
+        print(f"[{variant}] w_int {J0:.6e} -> {J1:.6e} "
               f"({100 * (1 - J1 / J0):.1f}% lower)")
-        print(f"design: s_root={x[0]:.4f} s_tip={x[1]:.4f} "
-              f"y_rib={x[2]:.4f}  max|xi_edge|={np.abs(edge).max():.2e}")
+        print(f"design: {np.array2string(x, precision=4)}  "
+              f"max|xi_edge|={np.abs(edge).max():.2e}")
     assert J1 < J0
     assert np.abs(edge).max() < 1e-8  # xi edge invariant held
     return prob, sys, J0, J1
 
 
 if __name__ == "__main__":
+    import argparse
+
     from goldfish_tpu import config
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="rspar_rrib", choices=VARIANTS)
+    ap.add_argument("--num-el", type=int, default=4)
+    ap.add_argument("--p", type=int, default=3)
+    ap.add_argument("--maxiter", type=int, default=6)
+    args = ap.parse_args()
     config.use_x64(True)
-    main()
+    main(num_el=args.num_el, p=args.p, maxiter=args.maxiter,
+         variant=args.variant)

@@ -153,6 +153,76 @@ def test_evtol_mi_demo_converges():
     assert abs(x[0] - 0.30) > 0.05  # the spar actually moved
 
 
+def test_evtol_mi_variant_design_maps():
+    """The reference's align-comp variant family
+    (custom_comps/evtol_{q,r,s}spar_{r,s}rib_align_comp.py): every
+    variant's affine map reproduces the initial geometry at x0, and
+    the outer-mold-line variant keeps the edge-pinned seams EXACTLY
+    coincident under arbitrary profile + spar motion (the exactness
+    argument that replaces the reference's oversized interior
+    members)."""
+    import numpy as np
+
+    from demos.evtol_wing_shopt_mi import (
+        BOX_H, HALF_SPAN, VARIANTS, build_system, design_map)
+    from goldfish_tpu.design.pipeline import CPLayout
+    from goldfish_tpu.ops.bspline import rational_basis_2d
+
+    sys_ = build_system(num_el=2, p=2)
+    lay = CPLayout(sys_.metas, sys_.stack.max_cp)
+    cp0 = np.array(lay.to_flat(sys_.cp)).ravel()
+    n_dv_expect = {"rspar_rrib": 3, "rspar_srib": 4, "sspar_srib": 6,
+                   "qspar_rrib": 7, "rspar_rrib_outer": 5}
+    for v in VARIANTS:
+        A, offset, x0, lo, up = design_map(
+            sys_, y_rib0=0.45 * HALF_SPAN, variant=v)
+        assert x0.size == n_dv_expect[v]
+        assert np.abs(A @ x0 + offset - cp0).max() < 1e-12
+        assert np.all(lo <= x0) and np.all(x0 <= up)
+
+    # outer variant: exact seam coincidence at a non-trivial design
+    A, offset, x0, lo, up = design_map(
+        sys_, y_rib0=0.45 * HALF_SPAN, variant="rspar_rrib_outer")
+    x = x0.copy()
+    x[:2] = [0.35, 0.42]
+    x[3:] = BOX_H * np.array([1.3, 0.9])     # dof 0 pinned
+    cp_new = (A @ x + offset).reshape(-1, 3)
+    offs = np.concatenate([[0], np.cumsum([m.n_cp for m in sys_.metas])])
+
+    def surf_eval(ip, uv):
+        s = sys_.surfs[ip]
+        p, q = s.degree
+        conn, tab = rational_basis_2d(
+            s.knots[0], s.knots[1], p, q, s.weights,
+            np.asarray(uv, float)[None, :], nd=0)
+        return tab[(0, 0)][0] @ cp_new[offs[ip]:offs[ip + 1]][conn[0]]
+
+    for v in np.linspace(0.0, 1.0, 7):
+        pt_spar = surf_eval(2, [1.0, v])         # spar top edge
+        pt_skin = surf_eval(0, [0.5, pt_spar[1] / HALF_SPAN])
+        assert abs(pt_spar[2] - pt_skin[2]) < 1e-12
+    for u in np.linspace(0.0, 1.0, 7):
+        pt_rib = surf_eval(3, [u, 1.0])          # rib top edge
+        pt_skin = surf_eval(0, [0.3, pt_rib[1] / HALF_SPAN])
+        assert abs(pt_rib[2] - pt_skin[2]) < 1e-12
+
+
+@pytest.mark.slow
+def test_evtol_mi_variants_converge():
+    """Straight-spar/straight-rib and outer-mold-line variants run
+    end-to-end: SLSQP lowers the objective, xi edge invariant holds."""
+    import numpy as np
+
+    from demos.evtol_wing_shopt_mi import main
+
+    for variant in ("sspar_srib", "rspar_rrib_outer"):
+        prob, sys_, J0, J1 = main(num_el=2, p=2, maxiter=2,
+                                  verbose=False, variant=variant)
+        assert J1 < J0
+        x = np.asarray(prob["inputs_comp.spar_rib_design"])
+        assert np.all(np.isfinite(x))
+
+
 @pytest.mark.slow
 def test_plate_hole_trimmed_demo():
     """Trimmed-patch thickness opt (plate with circular hole):

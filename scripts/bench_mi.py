@@ -178,6 +178,19 @@ def main():
     force(J, d, g)
     t_cold = time.perf_counter() - t0
 
+    # untimed warm-up: two optimizer-sized steps so the one-shot
+    # steady-state transients land OUTSIDE the timed loop — the
+    # rho-aware entry refresh (one refactorization at the first warm
+    # entry after a cold solve) and the one-time XLA compiles of
+    # whatever n_ir sweep-menu variants the adaptive policy picks
+    # (~2 min each through the axon remote-compile tunnel on a cold
+    # persistent cache; measured: 115-191 s "iterations" that are
+    # really compiles)
+    for k in range(2):
+        amp = 0.05 * (1.0 - 1e-3 * (k + 1))
+        J, d, xi, g = opt_iteration(jnp.asarray(amp), d, xi)
+        force(J, d, g)
+
     times = []
     for k in range(5):
         amp = 0.05 * (1.0 + 1e-3 * (k + 1))

@@ -224,6 +224,30 @@ def test_evtol_mi_variants_converge():
 
 
 @pytest.mark.slow
+def test_tbeam_shape_opt_demo():
+    """Fixed-intersection T-beam shape opt (reference
+    T_beam_shape_opt_wint.py role): stiffness improves and the
+    off-center web migrates toward the flange center."""
+    from demos.tbeam_shape_opt import main
+
+    res, J0, web_x, _, _ = main(num_el=3, p=2, maxiter=8, x_web=0.4,
+                                verbose=False)
+    assert res.fun < J0
+    assert abs(web_x) < 0.4
+
+
+@pytest.mark.slow
+def test_tube_shape_opt_demo():
+    """Fixed-intersection tube shape opt (reference
+    tube_shape_opt_wint.py role): pressurized elliptical tube rounds
+    toward the membrane-dominated circle."""
+    from demos.tube_shape_opt import main
+
+    res, J0, _, _ = main(num_el=3, p=2, maxiter=4, verbose=False)
+    assert res.fun < J0
+
+
+@pytest.mark.slow
 def test_plate_hole_trimmed_demo():
     """Trimmed-patch thickness opt (plate with circular hole):
     objective decreases and material concentrates at the hole band

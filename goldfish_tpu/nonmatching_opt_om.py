@@ -12,6 +12,7 @@ from goldfish_tpu.om_comps.components import (  # noqa: F401
     CPFFDAlignComp,
     CPFFDPinComp,
     CPFFDReguComp,
+    CPFFDReguCompAgg,
     CPIGA2XiComp,
     CPSurfAlignComp,
     CPSurfDistanceComp,
@@ -29,7 +30,9 @@ from goldfish_tpu.om_comps.components import (  # noqa: F401
     IntEnergyComp,
     IntEnergyReguComp,
     IntXiEdgeComp,
+    MaxIntXiComp,
     MaxvMStressComp,
+    MinIntXiComp,
     VMStressComp,
     VolumeComp,
 )

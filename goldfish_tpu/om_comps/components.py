@@ -525,6 +525,103 @@ class IntXiEdgeComp(om.ExplicitComponent):
                 inputs[self.xi_name][self.dofs] - self.vals)
 
 
+class _KSAggComp(om.ExplicitComponent):
+    """Scalar KS (log-sum-exp) aggregation of a vector input — the
+    shared body of the reference's Max/MinIntXiComp and
+    CPFFDReguCompAgg (all three are imported by
+    demos_om/shape_opt_mint/tube/draft_tube_shape_opt_mi_wffd_4patch
+    .py:19-28 from files absent in the reference tree; the semantics
+    are reconstructed from their constraint role in that driver).
+
+    sign=+1: smooth max  KS(x) = m + log(sum exp(rho (x - m))) / rho
+    sign=-1: smooth min  -KS(-x)
+    Optionally pre-multiplies by a constant operator A (regu rows).
+    """
+
+    sign = 1.0
+
+    def initialize(self):
+        self.options.declare("input_name", default="int_para_coords")
+        self.options.declare("output_name", default="ks_agg")
+        self.options.declare("input_shape", default=None)
+        self.options.declare("rho", default=50.0)
+        self.options.declare("A", default=None)
+
+    def init_parameters(self, input_shape=None):
+        if input_shape is not None:
+            self.options["input_shape"] = int(input_shape)
+        self.in_name = self.options["input_name"]
+        self.out_name = self.options["output_name"]
+        self.rho = float(self.options["rho"])
+        A = self.options["A"]
+        self._A = None if A is None else np.asarray(A, dtype=np.float64)
+        if self._A is not None:
+            self.options["input_shape"] = self._A.shape[1]
+
+    def setup(self):
+        self.add_input(self.in_name, shape=self.options["input_shape"])
+        self.add_output(self.out_name)
+        self.declare_partials(self.out_name, self.in_name)
+
+    def _rows(self, x):
+        return x if self._A is None else self._A @ x
+
+    def compute(self, inputs, outputs):
+        y = self.sign * self._rows(inputs[self.in_name])
+        m = y.max()
+        outputs[self.out_name] = self.sign * (
+            m + np.log(np.sum(np.exp(self.rho * (y - m)))) / self.rho)
+
+    def compute_partials(self, inputs, partials):
+        y = self.sign * self._rows(inputs[self.in_name])
+        m = y.max()
+        e = np.exp(self.rho * (y - m))
+        w = e / e.sum()  # softmax weights; sign cancels (sign^2 = 1)
+        partials[self.out_name, self.in_name] = \
+            w if self._A is None else w @ self._A
+
+
+class MaxIntXiComp(_KSAggComp):
+    """Smooth max over the moving-intersection parametric coordinates;
+    constrain <= 1 - eps to keep every xi inside the patch domain
+    (reference role: MaxIntXiComp in
+    draft_tube_shape_opt_mi_wffd_4patch.py:27)."""
+
+    sign = 1.0
+
+    def initialize(self):
+        super().initialize()
+        self.options["output_name"] = "max_int_xi"
+
+
+class MinIntXiComp(_KSAggComp):
+    """Smooth min of the xi vector; constrain >= eps (reference role:
+    MinIntXiComp in draft_tube_shape_opt_mi_wffd_4patch.py:28)."""
+
+    sign = -1.0
+
+    def initialize(self):
+        super().initialize()
+        self.options["output_name"] = "min_int_xi"
+
+
+class CPFFDReguCompAgg(_KSAggComp):
+    """Aggregated FFD regularization: smooth MIN over the
+    first-difference rows A @ p_ffd, constrained >= eps — one scalar
+    row replaces the per-difference inequality block (reference role:
+    CPFFDReguCompAgg, imported at
+    draft_tube_shape_opt_mi_wffd_4patch.py:19 from
+    GOLDFISH/om_comps/cpffd_regu_comp_aggregated.py, absent in tree).
+    Pass A = design.constraints.regu_operator(...) rows."""
+
+    sign = -1.0
+
+    def initialize(self):
+        super().initialize()
+        self.options["input_name"] = "p_ffd"
+        self.options["output_name"] = "cpffd_regu_agg"
+
+
 class _SurfPipelineComp(_LinearMapComp):
     """Base for the CPSurfDesign2Analysis-wrapping comps (reference:
     GOLDFISH/om_comps/surf_comps/*): constant per-surface operator,

@@ -245,3 +245,61 @@ def test_vmstress_comp(plate_prob):
                 continue
             assert entry["rel error"] < 5e-4, (comp_name, key,
                                                entry["rel error"])
+
+
+def test_ks_aggregation_comps():
+    """Max/MinIntXiComp + CPFFDReguCompAgg: value brackets the true
+    max/min from the correct side and partials FD-verify (reference
+    role: the aggregated constraint comps imported by
+    draft_tube_shape_opt_mi_wffd_4patch.py:19-28)."""
+    try:
+        import openmdao.api as om
+    except ModuleNotFoundError:
+        from goldfish_tpu.om_shim import api as om
+
+    from goldfish_tpu.om_comps.components import (
+        CPFFDReguCompAgg,
+        MaxIntXiComp,
+        MinIntXiComp,
+    )
+
+    rng = np.random.default_rng(3)
+    xi = rng.uniform(0.05, 0.95, size=24)
+    A = np.diff(np.eye(7), axis=0)  # first-difference rows
+    p = np.sort(rng.uniform(0.0, 1.0, size=7))
+
+    model = om.Group()
+    inp = om.IndepVarComp()
+    inp.add_output("int_para_coords", shape=xi.size, val=xi)
+    inp.add_output("p_ffd", shape=p.size, val=p)
+    model.add_subsystem("inputs_comp", inp)
+    for cls, name in [(MaxIntXiComp, "max_xi"), (MinIntXiComp, "min_xi")]:
+        c = cls(input_shape=xi.size, rho=200.0)
+        c.init_parameters()
+        model.add_subsystem(name, c)
+        model.connect("inputs_comp.int_para_coords",
+                      name + ".int_para_coords")
+    regu = CPFFDReguCompAgg(A=A, rho=200.0)
+    regu.init_parameters()
+    model.add_subsystem("regu_agg", regu)
+    model.connect("inputs_comp.p_ffd", "regu_agg.p_ffd")
+
+    prob = om.Problem(model=model)
+    prob.setup()
+    prob.run_model()
+
+    # KS-max upper-bounds the true max (conservative side for a <= 1
+    # constraint); KS-min lower-bounds the true min
+    mx = float(np.asarray(prob["max_xi.max_int_xi"]).ravel()[0])
+    mn = float(np.asarray(prob["min_xi.min_int_xi"]).ravel()[0])
+    assert xi.max() <= mx <= xi.max() + np.log(xi.size) / 200.0
+    assert xi.min() - np.log(xi.size) / 200.0 <= mn <= xi.min()
+    rows = A @ p
+    rg = float(np.asarray(prob["regu_agg.cpffd_regu_agg"]).ravel()[0])
+    assert rows.min() - np.log(len(rows)) / 200.0 <= rg <= rows.min()
+
+    report = prob.check_partials(step=1e-7)
+    for comp_name, pairs in report.items():
+        for key, entry in pairs.items():
+            assert entry["rel error"] < 1e-6, (comp_name, key,
+                                               entry["rel error"])

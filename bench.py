@@ -96,13 +96,18 @@ def main():
     # settle the adaptive IR sweep policy BEFORE timing: each distinct
     # sweep count the policy picks is a separate XLA program whose
     # one-time compile through the axon tunnel would otherwise land in
-    # a timed iteration as a 100 s outlier (CLAUDE.md round-3 facts)
-    for k in range(2):
-        hw = h0 * (1.0 - 1e-4 * (k + 1))
+    # a timed iteration as a 100 s outlier (CLAUDE.md round-3 facts).
+    # Cover BOTH step signs and a larger delta so the timed loop's
+    # rho-dependent n_ir choices hit only cached programs (a +1e-4-step
+    # program compiled here does not cover the n the policy picks after
+    # a -1e-4 or 5e-4 step — one such miss showed up as a 16.8 s timed
+    # outlier on an otherwise-warm cache).
+    for dh in (-1e-4, -2e-4, 1e-4, 5e-4, -1e-4):
+        hw = h0 * (1.0 + dh)
         (Jw, dw), gw = vg(hw, ws.predict(hw, d))
         force(Jw, dw, gw)
         ws.update(hw, dw)
-    d = dw
+        d = dw
 
     times = []
     for k in range(5):

@@ -319,6 +319,13 @@ class PersistentDeviceFactor:
     def _n_for(self, tol, rho, seeded=False):
         import math
 
+        # a non-finite rho (NaN certificate from a diverged solve at a
+        # wild optimizer trial point) must read as "fully stale", not
+        # crash: NaN slips through min/max (NaN comparisons are False)
+        # and math.ceil(NaN) raises — observed at pegasus scale in an
+        # SLSQP line search
+        if not math.isfinite(rho):
+            rho = 0.9
         rho = min(max(rho, 1e-4), 0.9)
         n = math.ceil(math.log(tol) / math.log(rho)) + 1
         if seeded:
@@ -330,6 +337,14 @@ class PersistentDeviceFactor:
 
     def _rho(self, n_ir):
         """Per-sweep contraction measured from the last certificate."""
+        import math
+
+        if not math.isfinite(self.last_ratio):
+            # NaN/inf certificate = the solve produced garbage (e.g. a
+            # diverged forward state poisoned the matvec): report the
+            # factor as fully stale so the retry loop refactors NOW
+            # instead of propagating NaN into rho_est -> _n_for crash
+            return 0.9
         if self.last_ratio <= 0.0:
             return 1e-4
         return self.last_ratio ** (1.0 / n_ir)

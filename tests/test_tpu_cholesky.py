@@ -120,3 +120,30 @@ def test_ir_sweep_menu_quantization():
     # class body aliases the policy methods)
     from goldfish_tpu.solver.system_mi import PersistentDeviceFactorMI
     assert PersistentDeviceFactorMI._N_MENU == menu
+
+
+def test_ir_policy_nan_certificate_is_fully_stale():
+    """A non-finite IR certificate (diverged solve at a wild optimizer
+    trial point) must read as a fully-stale factor, not poison rho_est:
+    NaN slips through min/max (NaN comparisons are False) and
+    math.ceil(NaN) raises — observed crashing the pegasus-91 SLSQP run
+    inside an adjoint exact_solve."""
+    from goldfish_tpu.solver.devicechol import PersistentDeviceFactor as P
+
+    class Dummy:
+        _RHO0, _MAX_SWEEPS, _N_MENU = P._RHO0, P._MAX_SWEEPS, P._N_MENU
+        last_ratio = float("nan")
+
+    dummy = Dummy()
+    # NaN certificate -> fully stale (forces the refactor branch)
+    assert P._rho(dummy, 4) == 0.9
+    dummy.last_ratio = float("inf")
+    assert P._rho(dummy, 2) == 0.9
+    # exact certificate stays on the optimistic floor
+    dummy.last_ratio = 0.0
+    assert P._rho(dummy, 2) == 1e-4
+    # NaN rho estimate must still yield an on-menu sweep count
+    for rho in (float("nan"), float("inf"), float("-inf")):
+        n = P._n_for(dummy, 1e-8, rho)
+        assert n in P._N_MENU
+        assert n == P._MAX_SWEEPS  # pessimistic, not crashed

@@ -183,7 +183,11 @@ class OptProblem:
             dvs = self._unflatten(_flat(xdict))
             if self._state0 is not None:
                 J, new_state = self._obj(dvs, state_box[0])
-                state_box[0] = new_state
+                # commit the warm-start state only when finite — a
+                # diverged trial must not poison later evaluations
+                # (same guard as run_slsqp)
+                if bool(jax.device_get(jnp.isfinite(new_state).all())):
+                    state_box[0] = new_state
             else:
                 J = self._obj(dvs)
             funcs = {"obj": float(self._obj_scaler * J)}
@@ -214,7 +218,8 @@ class OptProblem:
             x = _flat(xdict)
             if self._state0 is not None:
                 (_, new_state), g = vg_obj(x, state_box[0])
-                state_box[0] = new_state
+                if bool(jax.device_get(jnp.isfinite(new_state).all())):
+                    state_box[0] = new_state
             else:
                 _, g = vg_obj(x)
             g = np.asarray(g, dtype=np.float64)
@@ -291,8 +296,16 @@ class OptProblem:
 
             def f_obj(x):
                 (J, new_state), g = vg(jnp.asarray(x), state_box[0])
-                state_box[0] = new_state
-                return float(J), np.asarray(g, dtype=np.float64)
+                # ONE batched readback (each separate float()/asarray
+                # pays its own ~30 ms axon tunnel roundtrip), and the
+                # warm-start state commits ONLY when finite: a diverged
+                # line-search trial must not poison every subsequent
+                # evaluation's warm start with NaN
+                ok_ = jnp.isfinite(new_state).all()
+                Jv, gv, ok = jax.device_get((J, g, ok_))
+                if bool(ok):
+                    state_box[0] = new_state
+                return float(Jv), np.asarray(gv, dtype=np.float64)
         else:
             def raw(x):
                 return self._obj_scaler * self._obj(self._unflatten(x))
@@ -301,12 +314,28 @@ class OptProblem:
 
             def f_obj(x):
                 J, g = vg(jnp.asarray(x))
-                return float(J), np.asarray(g, dtype=np.float64)
+                Jv, gv = jax.device_get((J, g))
+                return float(Jv), np.asarray(gv, dtype=np.float64)
 
         # survive transient device failures (axon worker restarts):
         # the evaluations are pure (state commits only on success), so
         # a retry is an exact re-run (utils/retry.py)
         f_obj = retry_transient(f_obj)
+
+        # single-entry memo: scipy's ScalarFunction caches the last x
+        # on ITS side, but the per-iteration callback below calls f_obj
+        # directly — without this memo every SLSQP iteration paid one
+        # FULL extra objective+gradient evaluation (a forward solve +
+        # adjoint) just to print/record J, and scipy's next-iteration
+        # fun(x) at the same accepted point paid yet another
+        _memo = {}
+        _f_obj_raw = f_obj
+
+        def f_obj(x):
+            key = np.asarray(x, dtype=np.float64).tobytes()
+            if _memo.get("k") != key:
+                _memo["k"], _memo["v"] = key, _f_obj_raw(x)
+            return _memo["v"]
 
         cons = []
         for c in self._cons:

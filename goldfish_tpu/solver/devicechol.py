@@ -335,6 +335,20 @@ class PersistentDeviceFactor:
         n = min(max(n, 1), self._MAX_SWEEPS)
         return next(m for m in self._N_MENU if m >= n)
 
+    @staticmethod
+    def _inputs_finite(*arrays):
+        """ONE batched readback: are all inputs finite? A non-finite
+        certificate with non-finite INPUTS (a diverged optimizer trial
+        point fed b = NaN gradient seed, or a d that never converged)
+        is not a solver failure — no sweep count or refactorization can
+        help, and refactoring AT the garbage state would poison the
+        factor for the next healthy evaluation. Only checked on the
+        (rare) non-finite-certificate path: zero cost when healthy."""
+        ok = jnp.asarray(True)
+        for a in arrays:
+            ok = ok & jnp.isfinite(a).all()
+        return bool(jax.device_get(ok))
+
     def _rho(self, n_ir):
         """Per-sweep contraction measured from the last certificate."""
         import math
@@ -355,6 +369,9 @@ class PersistentDeviceFactor:
         the line search and the next residual measure actual progress,
         only adjoints need the 1e-6 grade (see
         system_mi.PersistentDeviceFactorMI)."""
+        import math
+
+        rho_entry = self.rho_est
         refactored = False
         for attempt in range(5):
             n_ir = self._n_for(tol, self.rho_est)
@@ -363,6 +380,18 @@ class PersistentDeviceFactor:
                 cp, h, d, r, nb=self.dc.nb, n_ir=n_ir)
             self.last_ratio = float(ratio)
             self.cert_log.append(("dir", n_ir, self.last_ratio))
+            if not math.isfinite(self.last_ratio):
+                if not self._inputs_finite(r, d):
+                    # garbage in: return the (non-finite) direction —
+                    # the caller's line search rejects it — keeping the
+                    # pre-episode contraction estimate and the factor
+                    self.rho_est = rho_entry
+                    return delta, float("nan")
+                if refactored:
+                    # fresh factor + finite inputs still non-finite:
+                    # the jvp matvec overflows at this state — more
+                    # sweeps re-overflow, give up visibly
+                    return delta, float("nan")
             if self.last_ratio <= tol:
                 # nudge the estimate toward the measurement so later
                 # solves stop over-sweeping once the factor freshens
@@ -398,11 +427,20 @@ class PersistentDeviceFactor:
     def finish_ir(self, n, ratio, tol=1e-6, tag="exact-pipe"):
         """Certificate bookkeeping for an `ir_solve_async` dispatch
         (same rho_est update rules as exact_solve)."""
+        import math
+
         self.last_ratio = float(ratio)
         self.cert_log.append((tag, n, self.last_ratio))
         if self.last_ratio <= tol:
             self.rho_est = max(self._rho(n), self._RHO0)
             return True
+        if not math.isfinite(self.last_ratio):
+            # do NOT fold a non-finite certificate into rho_est here:
+            # the fallback exact_solve triages it (garbage inputs →
+            # bail without refactor; finite inputs → refactor) — a
+            # premature rho_est=0.9 would make its first attempt burn
+            # a MAX_SWEEPS program on what is usually a NaN trial point
+            return False
         self.rho_est = self._rho(n)
         return False
 
@@ -439,6 +477,9 @@ class PersistentDeviceFactor:
                 self.rho_est = max(self._rho(n), self._RHO0)
                 return x
             # bad seed or stale factor: fall through unseeded
+        import math
+
+        rho_entry = self.rho_est
         refactored = False
         for attempt in range(5):
             n = self._n_for(tol, self.rho_est) if n_ir is None else n_ir
@@ -448,6 +489,19 @@ class PersistentDeviceFactor:
                                      n_ir=n)
             self.last_ratio = float(ratio)
             self.cert_log.append(("exact", n, self.last_ratio))
+            if not math.isfinite(self.last_ratio):
+                if not self._inputs_finite(b, d):
+                    # garbage in (diverged trial point): return the
+                    # non-finite solve — visible to the caller, whose
+                    # line search / optimizer backtracks — WITHOUT
+                    # refactoring at this state (that would poison the
+                    # factor for the next healthy evaluation) and with
+                    # the pre-episode contraction estimate intact
+                    self.rho_est = rho_entry
+                    return x
+                if refactored:
+                    break  # fresh factor + finite inputs: overflow —
+                    # give up through the visible-warning path below
             if self.last_ratio <= tol:
                 self.rho_est = max(self._rho(n), self._RHO0)
                 return x

@@ -21,6 +21,7 @@ pipeline of the reference SURVEY.md section 3.1 gradient pass.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -367,7 +368,13 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
         alpha = 1.0
         ls_fail = False
         rn_try = None
-        for j in range(1 if slope_tiny else 30):
+        if not math.isfinite(slope):
+            # non-finite direction (the jvp overflowed at a wild trial
+            # point): NO alpha fixes NaN*alpha — skip the 30 futile
+            # trial dispatches and go straight to the stall refactor
+            ls_fail = True
+            d_try, r_try, rn_try, Pi_try = d, r, rn, Pi0
+        for j in range(0 if ls_fail else (1 if slope_tiny else 30)):
             if j == 0 and pre_trial is not None:
                 # the alpha=1 trial was dispatched (and its scalars
                 # fetched) inside the speculative pipeline above
@@ -592,6 +599,9 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
         return dcp, dh, jnp.zeros_like(d)
 
     solve.defvjp(fwd, bwd)
+    # expose the persistent factors (prewarm / diagnostics from drivers)
+    solve.device_factor = pdf
+    solve.host_factor = phf
     return solve
 
 
@@ -670,4 +680,6 @@ def build_field_solve_fn(data: SystemData, rtol=1e-9, atol=1e-14,
         return dc, dh, df, jnp.zeros_like(d)
 
     solve.defvjp(fwd, bwd)
+    solve.device_factor = pdf
+    solve.host_factor = phf
     return solve

@@ -15,6 +15,7 @@ rule the reference wires manually across OpenMDAO components.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -502,6 +503,7 @@ class PersistentDeviceFactorMI:
         as _P
     _RHO0, _MAX_SWEEPS, _N_MENU = _P._RHO0, _P._MAX_SWEEPS, _P._N_MENU
     _n_for, _rho, finish_ir = _P._n_for, _P._rho, _P.finish_ir
+    _inputs_finite = _P._inputs_finite
     del _P
 
     @staticmethod
@@ -649,7 +651,10 @@ class PersistentDeviceFactorMI:
         tol=1e-3 is inexact-Newton forcing — the line search and the
         next residual measure actual progress, only adjoints need the
         1e-6 grade."""
+        import math
+
         data, mi, co, ss = self.args
+        rho_entry = self.rho_est
         refactored = False
         for attempt in range(5):
             n_ir = self._n_for(tol, self.rho_est)
@@ -659,6 +664,13 @@ class PersistentDeviceFactorMI:
                 p=self.p, q=self.q, nb=self.dc.nb, n_ir=n_ir)
             self.last_ratio = float(ratio)
             self.cert_log.append(("dir", n_ir, self.last_ratio))
+            if not math.isfinite(self.last_ratio):
+                # see devicechol.PersistentDeviceFactor.newton_direction
+                if not self._inputs_finite(r, d):
+                    self.rho_est = rho_entry
+                    return delta, float("nan")
+                if refactored:
+                    return delta, float("nan")
             if self.last_ratio <= tol:
                 self.rho_est = max(self._rho(n_ir), self._RHO0)
                 break
@@ -727,6 +739,9 @@ class PersistentDeviceFactorMI:
                 self.rho_est = max(self._rho(n), self._RHO0)
                 return x
             # bad seed or stale factor: fall through unseeded
+        import math
+
+        rho_entry = self.rho_est
         refactored = False
         for attempt in range(5):
             n = self._n_for(tol, self.rho_est) if n_ir is None else n_ir
@@ -736,6 +751,13 @@ class PersistentDeviceFactorMI:
                 p=self.p, q=self.q, nb=self.dc.nb, n_ir=n)
             self.last_ratio = float(ratio)
             self.cert_log.append(("exact", n, self.last_ratio))
+            if not math.isfinite(self.last_ratio):
+                # see devicechol.PersistentDeviceFactor.exact_solve
+                if not self._inputs_finite(b, d):
+                    self.rho_est = rho_entry
+                    return x
+                if refactored:
+                    break
             if self.last_ratio <= tol:
                 self.rho_est = max(self._rho(n), self._RHO0)
                 return x
@@ -886,7 +908,14 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
         alpha = 1.0
         ls_fail = False
         rn_try = rn_try if pre_trial is not None else None
-        for j in range(1 if slope_tiny else 30):
+        if not math.isfinite(slope):
+            # non-finite direction (overflowing jvp at a wild trial
+            # point): no alpha fixes NaN*alpha — skip the futile trial
+            # dispatches and go straight to the stall refactor (see
+            # solver/implicit.newton_solve_host)
+            ls_fail = True
+            d_try, r_try, rn_try, Pi_try = d, r, rn, Pi0
+        for j in range(0 if ls_fail else (1 if slope_tiny else 30)):
             if j == 0 and pre_trial is not None:
                 d_try, r_try, rn_try_, rn_try, Pi_try = pre_trial
             else:
@@ -1075,6 +1104,8 @@ def build_solve_fn_mi(data, mi, co, ss, p, q, rtol=1e-10, atol=1e-14,
         return dcp, dh, dxi, jnp.zeros_like(d)
 
     solve.defvjp(fwd, bwd)
+    # expose the persistent factor (prewarm / diagnostics from drivers)
+    solve.device_factor = pdf
     return solve
 
 

@@ -147,3 +147,66 @@ def test_ir_policy_nan_certificate_is_fully_stale():
         n = P._n_for(dummy, 1e-8, rho)
         assert n in P._N_MENU
         assert n == P._MAX_SWEEPS  # pessimistic, not crashed
+
+
+def test_nonfinite_inputs_do_not_refactor_or_poison_policy():
+    """A non-finite rhs/state (a diverged optimizer trial point) must
+    not make exact_solve refactor at the garbage state, burn retry
+    attempts up to MAX_SWEEPS programs, or poison rho_est — the NaN
+    goes back to the caller, whose line search / optimizer backtracks
+    (the pegasus-91 SLSQP episode, round 3: each wild line-search point
+    cost a wasted refactorization plus first-in-process loads of
+    16-sweep programs, tripling the measured s/iteration)."""
+    from goldfish_tpu.solver.devicechol import PersistentDeviceFactor
+
+    sys = plate.build(num_el=3, p=2, num_patches=3)
+    d0 = sys.zero_displacement()
+    fac = PersistentDeviceFactor(sys.data, nb=128)
+    fac.ensure(sys.cp, sys.h_init, d0)
+    rng = np.random.default_rng(4)
+    b = jnp.asarray(rng.normal(size=np.asarray(d0).shape)) * sys.data.free
+    x_ref = fac.exact_solve(sys.cp, sys.h_init, d0, b)
+    rho_before = fac.rho_est
+    nf_before = fac.n_factor
+    ncert = len(fac.cert_log)
+
+    x_nan = fac.exact_solve(sys.cp, sys.h_init, d0, b * jnp.nan)
+    assert not bool(jnp.isfinite(x_nan).all())
+    assert fac.n_factor == nf_before        # no refactor at garbage
+    assert fac.rho_est == rho_before        # policy not poisoned
+    assert len(fac.cert_log) == ncert + 1   # ONE attempt, no retries
+    assert not fac.nonconverged
+
+    # newton_direction: same episode through a NaN residual
+    _, slope = fac.newton_direction(sys.cp, sys.h_init, d0, b * jnp.nan)
+    assert np.isnan(slope)
+    assert fac.n_factor == nf_before
+    assert fac.rho_est == rho_before
+
+    # the untouched factor still solves exactly afterwards
+    x2 = fac.exact_solve(sys.cp, sys.h_init, d0, b)
+    rel = float(jnp.linalg.norm(x2 - x_ref) / jnp.linalg.norm(x_ref))
+    assert rel < 1e-6, rel
+
+
+def test_finish_ir_nonfinite_certificate_defers_policy():
+    """finish_ir must NOT fold a non-finite certificate into rho_est:
+    the fallback exact_solve triages the episode (garbage inputs ->
+    bail; finite inputs -> refactor), and a premature rho_est=0.9 would
+    make its first attempt dispatch a MAX_SWEEPS program on what is
+    usually just a NaN trial point."""
+    from goldfish_tpu.solver.devicechol import PersistentDeviceFactor as P
+
+    class Dummy:
+        _RHO0, _MAX_SWEEPS, _N_MENU = P._RHO0, P._MAX_SWEEPS, P._N_MENU
+        _rho = P._rho
+        last_ratio = 0.0
+        rho_est = 1e-3
+
+        def __init__(self):
+            self.cert_log = []
+
+    d = Dummy()
+    assert P.finish_ir(d, 4, float("nan")) is False
+    assert d.rho_est == 1e-3  # untouched: exact_solve triages next
+    assert P.finish_ir(d, 4, 1e-9) is True  # healthy path unchanged

@@ -503,7 +503,10 @@ class PersistentDeviceFactorMI:
         as _P
     _RHO0, _MAX_SWEEPS, _N_MENU = _P._RHO0, _P._MAX_SWEEPS, _P._N_MENU
     _n_for, _rho, finish_ir = _P._n_for, _P._rho, _P.finish_ir
-    _inputs_finite = _P._inputs_finite
+    # staticmethod re-wrap: _P._inputs_finite is the unwrapped function
+    # here, and a bare assignment would rebind it as an instance method
+    # (self would arrive as the first "array")
+    _inputs_finite = staticmethod(_P._inputs_finite)
     del _P
 
     @staticmethod

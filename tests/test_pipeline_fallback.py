@@ -261,3 +261,40 @@ def test_mi_adjoint_pipeline_warm_hit(mixed_mode):
     new = fac.cert_log[n_cert:]
     assert len(new) == 1 and new[0][0] == "exact-pipe" \
         and new[0][2] <= 1e-6, new
+
+
+def test_mi_nonfinite_inputs_do_not_refactor_or_poison_policy(mixed_mode):
+    """MI variant of the devicechol NaN triage (see
+    tests/test_tpu_cholesky.py): a non-finite rhs through the MI
+    persistent factor must not refactor at the garbage state, burn
+    retry attempts, or poison rho_est — and the untouched factor must
+    still solve exactly afterwards."""
+    sys = _mi_tbeam()
+    data, mi, co, ss = sys.data, sys.mi, sys.co, sys.ss
+    p, q = sys.pdeg, sys.qdeg
+    h0, cp = sys.h_init, sys.cp
+    xi = sys.c2x.solve(cp)
+    fac = PersistentDeviceFactorMI(data, mi, co, ss, p, q)
+    d0, _, _ = newton_solve_mi_host(data, mi, co, ss, p, q, cp, h0, xi,
+                                    sys.zero_displacement(),
+                                    rtol=1e-9, device_fac=fac)
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.normal(size=np.asarray(d0).shape)) * data.free
+    x_ref = fac.exact_solve(cp, h0, xi, d0, b)
+    rho_before, nf_before = fac.rho_est, fac.n_factor
+    ncert = len(fac.cert_log)
+
+    x_nan = fac.exact_solve(cp, h0, xi, d0, b * jnp.nan)
+    assert not bool(jnp.isfinite(x_nan).all())
+    assert fac.n_factor == nf_before        # no refactor at garbage
+    assert fac.rho_est == rho_before        # policy not poisoned
+    assert len(fac.cert_log) == ncert + 1   # ONE attempt, no retries
+
+    _, slope = fac.newton_direction(cp, h0, xi, d0, b * jnp.nan)
+    assert np.isnan(slope)
+    assert fac.n_factor == nf_before
+    assert fac.rho_est == rho_before
+
+    x2 = fac.exact_solve(cp, h0, xi, d0, b)
+    rel = _rel(x2, x_ref)
+    assert rel < 1e-6, rel

@@ -321,7 +321,72 @@ def _dir_of(eid, ents):
     return np.array([float(v) for v in args[1]])
 
 
-def read_step_assembly(path: str) -> list[NURBS]:
+def _strip_str(tok) -> str:
+    return str(tok).strip().strip("'")
+
+
+def _product_graph(ents):
+    """AP203/AP214 product structure of a STEP file:
+
+      PRODUCT -> PRODUCT_DEFINITION_FORMATION* -> PRODUCT_DEFINITION
+      PRODUCT_DEFINITION_SHAPE(pd) + SHAPE_DEFINITION_REPRESENTATION
+        ties a product definition to its SHAPE_REPRESENTATION;
+      NEXT_ASSEMBLY_USAGE_OCCURRENCE(parent_pd, child_pd) is one
+        instance of child in parent;
+      CONTEXT_DEPENDENT_SHAPE_REPRESENTATION(rep_relationship,
+        PRODUCT_DEFINITION_SHAPE(nauo)) ties a placement relationship
+        to its occurrence.
+
+    Returns (prod_of_rep: rep eid -> product name,
+             rr_occurrence: relationship eid -> (parent_rep, child_rep,
+             occurrence name)). Both empty for files without product
+    records (the reference reads such files through OCC, which applies
+    the same resolution; SURVEY.md section 2.4 pythonOCC row)."""
+    prod_name, pdf_prod, pd_pdf = {}, {}, {}
+    pds_def, sdr, nauo, cdsr = {}, [], {}, {}
+    for eid, body in ents.items():
+        up = body.upper()
+        if re.match(r"PRODUCT\s*\(", up):
+            a = _tokenize(body)
+            prod_name[eid] = _strip_str(a[1]) or _strip_str(a[0])
+        elif up.startswith("PRODUCT_DEFINITION_FORMATION"):
+            pdf_prod[eid] = _ref(_tokenize(body)[2])
+        elif re.match(r"PRODUCT_DEFINITION\s*\(", up):
+            pd_pdf[eid] = _ref(_tokenize(body)[2])
+        elif up.startswith("PRODUCT_DEFINITION_SHAPE"):
+            pds_def[eid] = _ref(_tokenize(body)[2])
+        elif up.startswith("SHAPE_DEFINITION_REPRESENTATION"):
+            a = _tokenize(body)
+            sdr.append((_ref(a[0]), _ref(a[1])))
+        elif up.startswith("NEXT_ASSEMBLY_USAGE_OCCURRENCE"):
+            a = _tokenize(body)
+            nauo[eid] = (_ref(a[3]), _ref(a[4]), _strip_str(a[1]))
+        elif up.startswith("CONTEXT_DEPENDENT_SHAPE_REPRESENTATION"):
+            a = _tokenize(body)
+            cdsr[_ref(a[0])] = _ref(a[1])
+
+    pd_name = {pd: prod_name.get(pdf_prod.get(pdf, -1), "")
+               for pd, pdf in pd_pdf.items()}
+    rep_of_pd, prod_of_rep = {}, {}
+    for pds, rep in sdr:
+        de = pds_def.get(pds)
+        if de in pd_name:
+            rep_of_pd[de] = rep
+            prod_of_rep[rep] = pd_name[de]
+
+    rr_occurrence = {}
+    for rr, pds in cdsr.items():
+        n = nauo.get(pds_def.get(pds, -1))
+        if n is None:
+            continue
+        ppd, cpd, occ = n
+        prep, crep = rep_of_pd.get(ppd), rep_of_pd.get(cpd)
+        if prep is not None and crep is not None:
+            rr_occurrence[rr] = (prep, crep, occ)
+    return prod_of_rep, rr_occurrence
+
+
+def read_step_assembly(path: str, with_structure: bool = False):
     """All B-spline surfaces of a STEP file with assembly placements
     APPLIED: ITEM_DEFINED_TRANSFORMATION entities referenced from
     (SHAPE_)REPRESENTATION_RELATIONSHIP_WITH_TRANSFORMATION records
@@ -331,18 +396,26 @@ def read_step_assembly(path: str) -> list[NURBS]:
     records — come through at identity, so this is a strict superset of
     `read_step_file` output semantics.
 
-    Convention: rep_1 = child (instanced part), rep_2 = parent — the
-    orientation `write_step_assembly` emits and the common CAX-IF
-    usage. Exporters are not uniform here (OCC disambiguates via
-    NEXT_ASSEMBLY_USAGE_OCCURRENCE, which this reader does not
-    consult); with the opposite orientation parts still come through,
-    at identity instead of placed, and a file whose relationships
-    resolve to nothing falls back to the un-instanced masters with a
-    warning."""
+    Rep orientation: when the file carries product structure
+    (NEXT_ASSEMBLY_USAGE_OCCURRENCE + CONTEXT_DEPENDENT_SHAPE_
+    REPRESENTATION, the AP203/AP214 norm and what OCC consults), the
+    occurrence's (parent_pd, child_pd) decides which representation is
+    the parent — exporter rep_1/rep_2 order does not matter, and a
+    swapped order also inverts the transformation. Without product
+    records the reader falls back to the rep_1 = child convention
+    `write_step_assembly` emits; a file whose relationships resolve to
+    nothing falls back to the un-instanced masters with a warning.
+
+    `with_structure=True` returns `(surfaces, meta)` where `meta[i]` is
+    `{"product": <owning PRODUCT name or None>, "path": <tuple of
+    occurrence/product names from the root to the instance>}` — the
+    product-structure metadata OCC exposes as the document label tree
+    for the reference's CAD imports."""
     with open(path, "r", errors="replace") as f:
         text = f.read()
     ents = _split_entities(text)
     pts, surf_of = _parse_surfaces(ents)
+    prod_of_rep, rr_occurrence = _product_graph(ents)
 
     # representations: ids whose type name ends in SHAPE_REPRESENTATION
     # (plain, ADVANCED_BREP_..., MANIFOLD_SURFACE_..., etc.); surfaces
@@ -363,14 +436,19 @@ def read_step_assembly(path: str) -> list[NURBS]:
                     stack.append(r)
         return out
 
+    # CONTEXT_DEPENDENT_SHAPE_REPRESENTATION is a product-structure
+    # record, not a representation — it must not be swept up here (it
+    # references the placement relationships, so treating it as a root
+    # representation would re-emit every part's masters at identity)
     reps = [eid for eid, body in ents.items()
             if re.match(r"[A-Z0-9_]*SHAPE_REPRESENTATION\s*\(",
-                        body.upper())]
+                        body.upper())
+            and not body.upper().startswith("CONTEXT_DEPENDENT")]
 
     # relationships: (REPRESENTATION_RELATIONSHIP('','',#child,#parent)
     #   REPRESENTATION_RELATIONSHIP_WITH_TRANSFORMATION(#idt)
     #   SHAPE_REPRESENTATION_RELATIONSHIP())
-    links = []  # (parent_rep, child_rep, R, t)
+    links = []  # (parent_rep, child_rep, R, t, occurrence name)
     for eid, body in ents.items():
         up = body.upper()
         if "REPRESENTATION_RELATIONSHIP_WITH_TRANSFORMATION" not in up:
@@ -394,37 +472,57 @@ def read_step_assembly(path: str) -> list[NURBS]:
         targs = _tokenize(ents[idt])
         M1, o1 = _axis_frame(_ref(targs[2]), ents, pts)
         M2, o2 = _axis_frame(_ref(targs[3]), ents, pts)
-        # the transformation maps frame 1 onto frame 2:
-        # p' = M2 @ M1^T @ (p - o1) + o2
+        # the transformation maps frame 1 (child side) onto frame 2
+        # (parent side): p' = M2 @ M1^T @ (p - o1) + o2
         R = M2 @ M1.T
         t = o2 - R @ o1
-        links.append((parent, child, R, t))
+        occ = ""
+        if eid in rr_occurrence:
+            # product structure is authoritative: NAUO's
+            # (parent_pd, child_pd) decides orientation. If the
+            # exporter wrote (rep_1=parent, rep_2=child), the
+            # transformation maps parent-frame onto child-frame and
+            # must be inverted along with the swap.
+            prep, crep, occ = rr_occurrence[eid]
+            if (parent, child) == (crep, prep):
+                parent, child = prep, crep
+                R, t = R.T, -(R.T @ t)
+            else:
+                parent, child = prep, crep
+        links.append((parent, child, R, t, occ))
 
-    children = {c for _, c, _, _ in links}
+    children = {c for _, c, _, _, _ in links}
     out: list[NURBS] = []
+    meta: list[dict] = []
     placed: set[int] = set()
 
-    def place(rid, R, t, depth=0):
+    def place(rid, R, t, path_names, depth=0):
         assert depth < 64, "assembly graph cycle"
+        pname = prod_of_rep.get(rid)
         for sid in rep_surfaces(rid):
             placed.add(sid)
             out.append(transform_surface(surf_of[sid], R, t))
-        for parent, child, Rl, tl in links:
+            meta.append({"product": pname, "path": path_names})
+        for parent, child, Rl, tl, occ in links:
             if parent == rid:
-                place(child, R @ Rl, R @ tl + t, depth + 1)
+                label = occ or prod_of_rep.get(child) or f"rep{child}"
+                place(child, R @ Rl, R @ tl + t,
+                      path_names + (label,), depth + 1)
 
     for rid in sorted(reps):
         if rid not in children:
-            place(rid, np.eye(3), np.zeros(3))
+            root_label = prod_of_rep.get(rid) or f"rep{rid}"
+            place(rid, np.eye(3), np.zeros(3), (root_label,))
     for sid in sorted(surf_of):
         if sid not in placed and not any(
                 sid in rep_surfaces(r) for r in reps):
             out.append(surf_of[sid])
+            meta.append({"product": None, "path": ()})
     if not out and surf_of:
         # pathological relationship graph (e.g. an exporter using the
-        # opposite rep_1/rep_2 orientation AND circularity filtering
-        # dropped everything): never lose geometry — fall back to the
-        # un-instanced masters at identity, loudly
+        # opposite rep_1/rep_2 orientation without product records AND
+        # circularity filtering dropped everything): never lose
+        # geometry — fall back to the un-instanced masters, loudly
         import warnings
 
         warnings.warn(
@@ -432,17 +530,32 @@ def read_step_assembly(path: str) -> list[NURBS]:
             "placed geometry; returning un-instanced surfaces at "
             "identity.", stacklevel=2)
         out = [surf_of[k] for k in sorted(surf_of)]
+        meta = [{"product": None, "path": ()} for _ in out]
+    if with_structure:
+        return out, meta
     return out
 
 
 def write_step_assembly(path: str, parts, instances,
-                        name: str = "goldfish_tpu"):
+                        name: str = "goldfish_tpu",
+                        part_names=None, assembly_name: str = "assembly",
+                        instance_names=None):
     """Write an assembly: `parts` is a list of surface lists; each
     instance (part_index, R 3x3, t 3) places one part copy. Emits one
     SHAPE_REPRESENTATION per part, a root assembly representation, and
     one ITEM_DEFINED_TRANSFORMATION +
-    (REPRESENTATION_RELATIONSHIP ... WITH_TRANSFORMATION) per instance.
-    Round-trips with `read_step_assembly`."""
+    (REPRESENTATION_RELATIONSHIP ... WITH_TRANSFORMATION) per instance,
+    plus the AP203/AP214 product structure (PRODUCT / PRODUCT_
+    DEFINITION / SHAPE_DEFINITION_REPRESENTATION per part and root,
+    NEXT_ASSEMBLY_USAGE_OCCURRENCE + CONTEXT_DEPENDENT_SHAPE_
+    REPRESENTATION per instance) so CAD tools see a named part tree —
+    the metadata OCC resolves for the reference's imports (SURVEY.md
+    section 2.4). `part_names` / `assembly_name` / `instance_names`
+    name the tree nodes (defaults part{k} / assembly / i{k}).
+    Round-trips with `read_step_assembly(with_structure=True)`."""
+    part_names = part_names or [f"part{k}" for k in range(len(parts))]
+    instance_names = instance_names or [f"i{k}"
+                                        for k in range(len(instances))]
     lines = _header_lines(name)
     eid = [1]
 
@@ -461,22 +574,43 @@ def write_step_assembly(path: str, parts, instances,
         dx = add(f"DIRECTION('',({x[0]:.17G},{x[1]:.17G},{x[2]:.17G}))")
         return add(f"AXIS2_PLACEMENT_3D('',#{o},#{dz},#{dx})")
 
-    part_reps = []
+    ac = add("APPLICATION_CONTEXT('automotive design')")
+    pc = add(f"PRODUCT_CONTEXT('',#{ac},'mechanical')")
+    pdc = add(f"PRODUCT_DEFINITION_CONTEXT('part definition',#{ac},"
+              "'design')")
+
+    def add_product(pname, rep):
+        p = add(f"PRODUCT('{pname}','{pname}','',(#{pc}))")
+        pdf = add(f"PRODUCT_DEFINITION_FORMATION('','',#{p})")
+        pd = add(f"PRODUCT_DEFINITION('design','',#{pdf},#{pdc})")
+        pds = add(f"PRODUCT_DEFINITION_SHAPE('','',#{pd})")
+        add(f"SHAPE_DEFINITION_REPRESENTATION(#{pds},#{rep})")
+        return pd
+
+    part_reps, part_pds = [], []
     for k, surfs in enumerate(parts):
         sids = [_emit_surface(add, s) for s in surfs]
         items = ",".join(f"#{i}" for i in sids)
-        part_reps.append(
-            add(f"SHAPE_REPRESENTATION('part{k}',({items}),$)"))
-    root = add("SHAPE_REPRESENTATION('assembly',(),$)")
+        rep = add(f"SHAPE_REPRESENTATION('{part_names[k]}',({items}),$)")
+        part_reps.append(rep)
+        part_pds.append(add_product(part_names[k], rep))
+    root = add(f"SHAPE_REPRESENTATION('{assembly_name}',(),$)")
+    root_pd = add_product(assembly_name, root)
 
     for k, (pi, R, t) in enumerate(instances):
         a1 = add_axis()  # identity source frame
         a2 = add_axis(np.asarray(R, dtype=np.float64),
                       np.asarray(t, dtype=np.float64))
         idt = add(f"ITEM_DEFINED_TRANSFORMATION('i{k}','',#{a1},#{a2})")
-        add(f"(REPRESENTATION_RELATIONSHIP('','',#{part_reps[pi]},"
-            f"#{root})REPRESENTATION_RELATIONSHIP_WITH_TRANSFORMATION"
-            f"(#{idt})SHAPE_REPRESENTATION_RELATIONSHIP())")
+        rr = add(f"(REPRESENTATION_RELATIONSHIP('','',#{part_reps[pi]},"
+                 f"#{root})REPRESENTATION_RELATIONSHIP_WITH_"
+                 f"TRANSFORMATION(#{idt})SHAPE_REPRESENTATION_"
+                 f"RELATIONSHIP())")
+        nauo = add(f"NEXT_ASSEMBLY_USAGE_OCCURRENCE('i{k}',"
+                   f"'{instance_names[k]}','',#{root_pd},"
+                   f"#{part_pds[pi]},$)")
+        pds2 = add(f"PRODUCT_DEFINITION_SHAPE('','',#{nauo})")
+        add(f"CONTEXT_DEPENDENT_SHAPE_REPRESENTATION(#{rr},#{pds2})")
     lines += ["ENDSEC;", "END-ISO-10303-21;"]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")

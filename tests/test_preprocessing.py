@@ -255,3 +255,81 @@ def test_step_axis_frame_degenerate_refdir():
     assert np.all(np.isfinite(M))
     np.testing.assert_allclose(M @ M.T, np.eye(3), atol=1e-12)
     np.testing.assert_allclose(M[:, 2], [1.0, 0.0, 0.0], atol=1e-12)
+
+
+def test_step_product_structure(tmp_path):
+    """AP203/AP214 product structure: write_step_assembly emits
+    PRODUCT / NEXT_ASSEMBLY_USAGE_OCCURRENCE / CONTEXT_DEPENDENT_
+    SHAPE_REPRESENTATION records; read_step_assembly(with_structure=
+    True) returns per-surface product names and instance paths, and
+    the NAUO resolves the parent/child representation orientation even
+    for an exporter using the OPPOSITE rep_1/rep_2 convention (the
+    role OCC's document-label tree plays for the reference's STEP
+    imports)."""
+    import re as _re
+
+    from goldfish_tpu.geometry.cadkit import circle, extrude
+    from goldfish_tpu.geometry.step_io import (
+        read_step_assembly,
+        transform_surface,
+        write_step_assembly,
+    )
+    from goldfish_tpu.models import tbeam
+
+    s0 = tbeam.create_surf([[-1, 0, 0], [1, 0, 0], [-1, 4, 0],
+                            [1, 4, 0]], 2, 3, 3)
+    arc = circle(center=[0, 0, 0], radius=1.0, angle=(0.0, 0.5))
+    s1 = extrude(arc, [0.0, 0.0, 2.0])
+    th = 0.4
+    Rz = np.array([[np.cos(th), -np.sin(th), 0.0],
+                   [np.sin(th), np.cos(th), 0.0],
+                   [0.0, 0.0, 1.0]])
+    instances = [(0, np.eye(3), np.zeros(3)),
+                 (1, Rz, np.array([3.0, -1.0, 2.0]))]
+    path = str(tmp_path / "named.stp")
+    write_step_assembly(path, [[s0], [s1]], instances,
+                        part_names=["skin", "spar"],
+                        assembly_name="wing",
+                        instance_names=["skin_1", "spar_1"])
+
+    surfs, meta = read_step_assembly(path, with_structure=True)
+    assert len(surfs) == 2 and len(meta) == 2
+    by_prod = {m["product"]: (s, m) for s, m in zip(surfs, meta)}
+    assert set(by_prod) == {"skin", "spar"}
+    assert by_prod["skin"][1]["path"] == ("wing", "skin_1")
+    assert by_prod["spar"][1]["path"] == ("wing", "spar_1")
+    u = np.linspace(0, 1, 5)
+    np.testing.assert_allclose(
+        by_prod["spar"][0].evaluate(u, u),
+        transform_surface(s1, Rz, np.array([3.0, -1.0, 2.0]))
+        .evaluate(u, u), atol=1e-10)
+
+    # opposite exporter convention: swap rep_1/rep_2 in every
+    # relationship AND the two frames of its ITEM_DEFINED_
+    # TRANSFORMATION (a consistent parent->child file). The NAUO must
+    # recover the identical placements.
+    text = open(path).read()
+    text = _re.sub(
+        r"REPRESENTATION_RELATIONSHIP\('','',#(\d+),#(\d+)\)",
+        r"REPRESENTATION_RELATIONSHIP('','',#\2,#\1)", text)
+    text = _re.sub(
+        r"ITEM_DEFINED_TRANSFORMATION\('(i\d+)','',#(\d+),#(\d+)\)",
+        r"ITEM_DEFINED_TRANSFORMATION('\1','',#\3,#\2)", text)
+    path2 = str(tmp_path / "swapped.stp")
+    open(path2, "w").write(text)
+    surfs2, meta2 = read_step_assembly(path2, with_structure=True)
+    assert len(surfs2) == 2
+    by_prod2 = {m["product"]: s for s, m in zip(surfs2, meta2)}
+    assert set(by_prod2) == {"skin", "spar"}
+    for k in ("skin", "spar"):
+        np.testing.assert_allclose(
+            by_prod2[k].evaluate(u, u), by_prod[k][0].evaluate(u, u),
+            atol=1e-10)
+
+    # structure-less files still return meta (product None)
+    from goldfish_tpu.geometry.step_io import write_step_file
+
+    flat = str(tmp_path / "flat.stp")
+    write_step_file(flat, [s0])
+    fs, fm = read_step_assembly(flat, with_structure=True)
+    assert len(fs) == 1 and fm[0]["product"] is None

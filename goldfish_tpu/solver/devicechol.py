@@ -310,6 +310,16 @@ class PersistentDeviceFactor:
     # (rho > 0.5: sweeps barely contract) or when retries exhaust.
     _RHO0 = 1e-3        # optimistic initial estimate (fresh factor)
     _MAX_SWEEPS = 16
+    # measured-contraction refresh threshold (ported from
+    # PersistentDeviceFactorMI after the pegasus SLSQP episode,
+    # scripts/diag_pegasus_slsqp.py): a factor pinned at a BAD state
+    # (e.g. a stall refactor landing on an unconverged mid-Newton
+    # iterate) keeps PASSING direction certificates forever at
+    # rho ~ 0.6 — no drift heuristic fires, and every direction and
+    # adjoint silently pays a MAX_SWEEPS program (measured 4.5 s vs
+    # 1.2 s at pegasus scale). 0.1, not lower: fresh factors
+    # legitimately measure rho ~ 0.07 under 1e-2-sized design steps.
+    rho_refresh = 0.1
     # every distinct n_ir is a SEPARATE XLA program (one-time 1-5 min
     # compiles through the axon tunnel, CLAUDE.md): quantize the sweep
     # count to a small menu so the policy can ever request at most 7
@@ -363,6 +373,21 @@ class PersistentDeviceFactor:
             return 1e-4
         return self.last_ratio ** (1.0 / n_ir)
 
+    def _rho_entry_refresh(self, cp, h, d):
+        """Unpin a persistently mediocre factor on MEASURED contraction
+        (see `rho_refresh`): when the estimate is mediocre AND the
+        state has drifted since factorization, refresh at the current
+        (presumed healthy) state rather than keep over-sweeping. Zero
+        cost when healthy — the drift/finiteness readbacks only happen
+        once rho_est is already above rho_refresh. Never refactors at
+        a non-finite state (that would poison the factor for the next
+        healthy evaluation — the SLSQP wild-trial lesson)."""
+        if self._ref is None or self.rho_est <= self.rho_refresh:
+            return
+        drift = float(self._drift(cp, h, d, *self._ref))
+        if drift > self.stale_tol and self._inputs_finite(cp, h, d):
+            self.ensure(cp, h, d, force=True, why="rho-refresh")
+
     def newton_direction(self, cp, h, d, r, tol=1e-3):
         """Fused IR-exact Newton direction, certificate-validated;
         returns (delta, slope). tol=1e-3 is inexact-Newton forcing —
@@ -371,6 +396,7 @@ class PersistentDeviceFactor:
         system_mi.PersistentDeviceFactorMI)."""
         import math
 
+        self._rho_entry_refresh(cp, h, d)
         rho_entry = self.rho_est
         refactored = False
         for attempt in range(5):
@@ -412,6 +438,7 @@ class PersistentDeviceFactor:
         True = certificate passed, the solve is exact; False = fall
         back to the self-validating `exact_solve`. Exactness never
         rests on the speculation — only wasted device work does."""
+        self._rho_entry_refresh(cp, h, d)
         if x0 is not None:
             n = self._n_for(tol, self.rho_est, seeded=True)
             x, ratio = _jvp_ir_solve_seeded(
@@ -459,6 +486,7 @@ class PersistentDeviceFactor:
         seed passes the certificate with one fewer sweep; a bad seed
         fails it and the solve falls back to the unseeded program —
         exactness never depends on seed quality."""
+        self._rho_entry_refresh(cp, h, d)
         if x0 is not None:
             n = self._n_for(tol, self.rho_est, seeded=True)
             x, ratio = _jvp_ir_solve_seeded(

@@ -301,6 +301,7 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
 
     d = d0
     stall = 0
+    pinned = 0
     it = 0
     refactored_on_stall = False
     use_ir = False
@@ -416,6 +417,25 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
         if verbose:
             print(f"  newton(host) it {it}: |r|={rn:.3e} alpha={alpha:g}")
         res_stalled = rn > 0.5 * rn_prev
+        # residual PINNED at its achievable floor above rtol*r_ref:
+        # certificate-validated Newton either contracts |r|
+        # geometrically or is done — two consecutive ACCEPTED
+        # iterations with <2% reduction cannot reach rtol within
+        # max_it either (0.98^30 ~ 0.55). Without this stop, one
+        # pegasus SLSQP evaluation burned 13 iterations with
+        # bit-identical direction certificates at the floor
+        # (scripts/diag_pegasus_slsqp.py). The energy-based stall
+        # counter below misses it when Pi wiggles by more than
+        # 64*eps*|Pi| of roundoff per no-op step. Gated to the Newton
+        # basin (rn well below the load scale): COLD solves descend
+        # the energy through transients where |r| legitimately rises
+        # (SVK non-convexity) and must not be counted as pinned.
+        if rn <= 1e-2 * r_ref and rn > 0.98 * rn_prev:
+            pinned += 1
+            if pinned >= 2:
+                break
+        else:
+            pinned = 0
         # slow linear contraction = the frozen tangent is too stale
         # (thin-shell K changes O(1) under small d-drifts): switch to
         # exact jvp-IR directions rather than crawling or refactoring

@@ -835,6 +835,7 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
 
     d = d0
     stall = 0
+    pinned = 0
     it = 0
     refactored_on_stall = False
     # MI directions are IR-EXACT by default: the moving-seam penalty
@@ -953,6 +954,18 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
         if verbose:
             print(f"  newton(mi,host) it {it}: |r|={rn:.3e} alpha={alpha:g}")
         res_stalled = rn > 0.5 * rn_prev
+        # residual PINNED at its floor: see implicit.newton_solve_host
+        # — two consecutive accepted iterations with <2% |r| reduction
+        # mark the achievable floor above rtol*r_ref; stop instead of
+        # burning max_it on no-op steps (pegasus SLSQP episode). Gated
+        # to the Newton basin so cold-transient |r| growth under the
+        # energy line search is not counted.
+        if rn <= 1e-2 * r_ref and rn > 0.98 * rn_prev:
+            pinned += 1
+            if pinned >= 2:
+                break
+        else:
+            pinned = 0
         if slope_tiny and res_stalled:
             break
         if (Pi_new >= Pi0 - 64 * eps * abs(Pi0)) and res_stalled:

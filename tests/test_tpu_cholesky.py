@@ -210,3 +210,75 @@ def test_finish_ir_nonfinite_certificate_defers_policy():
     assert P.finish_ir(d, 4, float("nan")) is False
     assert d.rho_est == 1e-3  # untouched: exact_solve triages next
     assert P.finish_ir(d, 4, 1e-9) is True  # healthy path unchanged
+
+
+def test_rho_entry_refresh_unpins_mediocre_factor():
+    """A factor whose MEASURED contraction is mediocre (rho_est >
+    rho_refresh — e.g. a stall refactor landed on an unconverged
+    mid-Newton iterate) keeps PASSING certificates forever while every
+    direction/adjoint pays a MAX_SWEEPS program. The entry refresh
+    (ported from PersistentDeviceFactorMI after the pegasus SLSQP
+    episode, scripts/diag_pegasus_slsqp.py) refactors at the next
+    solve entry once the state has drifted — and ONLY then: no drift
+    (just refreshed, genuinely hard system) or a non-finite state must
+    not refactor."""
+    from goldfish_tpu.solver.devicechol import PersistentDeviceFactor
+
+    sys = plate.build(num_el=3, p=2, num_patches=3)
+    d0 = sys.zero_displacement()
+    fac = PersistentDeviceFactor(sys.data, nb=128)
+    fac.ensure(sys.cp, sys.h_init, d0)
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.normal(size=np.asarray(d0).shape)) * sys.data.free
+
+    # healthy estimate + drifted state: the certificate rides the
+    # staleness (round-2 measured behavior), no refactor
+    h2 = sys.h_init * 1.01
+    n_fac = fac.n_factor
+    fac.exact_solve(sys.cp, h2, d0, b)
+    assert fac.n_factor == n_fac, fac.refactor_log
+
+    # mediocre estimate + drift: the entry refresh refactors FIRST
+    fac.rho_est = 0.6
+    h3 = sys.h_init * 1.02
+    fac.exact_solve(sys.cp, h3, d0, b)
+    assert fac.n_factor == n_fac + 1
+    assert fac.refactor_log[-1][0] == "rho-refresh"
+    assert fac.rho_est < 0.1  # re-measured on the fresh factor
+
+    # mediocre estimate but NO drift (just refreshed): no refactor loop
+    fac.rho_est = 0.6
+    n_fac = fac.n_factor
+    fac.exact_solve(sys.cp, h3, d0, b)
+    assert fac.n_factor == n_fac
+
+    # non-finite state: never refresh there (poisons the factor for
+    # the next healthy evaluation)
+    fac.rho_est = 0.6
+    n_log = len(fac.refactor_log)
+    fac.newton_direction(sys.cp, h3, d0 + jnp.nan, b)
+    assert all(why != "rho-refresh"
+               for why, _ in fac.refactor_log[n_log:])
+
+
+def test_newton_host_stops_at_residual_floor():
+    """With rtol below the achievable residual floor, the host Newton
+    loop must stop within a couple of iterations of the floor instead
+    of burning max_it on no-op steps (one pegasus SLSQP evaluation
+    burned 13 such iterations, bit-identical direction certificates —
+    scripts/diag_pegasus_slsqp.py)."""
+    from goldfish_tpu.solver.implicit import newton_solve_host
+
+    sys = plate.build(num_el=3, p=2, num_patches=3)
+    d0 = sys.zero_displacement()
+    d_ref, it_ref, rn_ref = newton_solve_host(
+        sys.data, sys.cp, sys.h_init, d0, rtol=1e-10, max_it=30)
+    assert rn_ref < 1e-5  # sanity: converged (absolute |r| at this
+    # scale; rtol is relative to the load-scale reference |r(0)|)
+
+    d, it, rn = newton_solve_host(
+        sys.data, sys.cp, sys.h_init, d0, rtol=0.0, atol=0.0, max_it=30)
+    # stops at the floor: a handful of extra iterations at most
+    assert it <= it_ref + 5, (it, it_ref)
+    # and the returned state is still (at least) as converged
+    assert rn <= 10 * max(rn_ref, 1e-16), (rn, rn_ref)

@@ -138,11 +138,11 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
             return linear_solve(K, -r.reshape(-1)).reshape(r.shape)
 
     def cond(state):
-        d, it, rnorm, done, best, stall = state
+        d, it, rnorm, done, best, stall, pinned = state
         return (it < max_it) & (~done) & (rnorm > atol) & (rnorm > rtol * r_ref)
 
     def body(state):
-        d, it, rn_prev, _, best, stall = state
+        d, it, rn_prev, _, best, stall, pinned = state
         r = residual(data, d, cp, h)
         delta = direction(d, r) * data.free
 
@@ -184,11 +184,22 @@ def newton_solve(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
         stall = jnp.where(no_progress, stall + 1, jnp.int32(0))
         best = jnp.minimum(best, rnew)
         done = done | (stall >= 3)
-        return d, it + 1, rnew, done, best, stall
+        # residual PINNED at its achievable floor (see
+        # newton_solve_host): two consecutive iterations inside the
+        # Newton basin with <2% |r| reduction cannot reach rtol within
+        # max_it — stop instead of burning iterations on no-op steps.
+        # Basin-gated so cold-transient |r| growth under the energy
+        # line search is not counted.
+        pinned = jnp.where((rnew <= 1e-2 * r_ref)
+                           & (rnew > 0.98 * rn_prev),
+                           pinned + 1, jnp.int32(0))
+        done = done | (pinned >= 2)
+        return d, it + 1, rnew, done, best, stall, pinned
 
     d, it, rn, *_ = jax.lax.while_loop(
         cond, body,
-        (d0, jnp.int32(0), r0n, jnp.asarray(False), r0n, jnp.int32(0)))
+        (d0, jnp.int32(0), r0n, jnp.asarray(False), r0n, jnp.int32(0),
+         jnp.int32(0)))
     return d, it, rn
 
 

@@ -178,16 +178,22 @@ def main():
     force(J, d, g)
     t_cold = time.perf_counter() - t0
 
-    # untimed warm-up: two optimizer-sized steps so the one-shot
-    # steady-state transients land OUTSIDE the timed loop — the
-    # rho-aware entry refresh (one refactorization at the first warm
-    # entry after a cold solve) and the one-time XLA compiles of
-    # whatever n_ir sweep-menu variants the adaptive policy picks
+    # untimed warm-up: optimizer-sized steps over BOTH signs and
+    # several deltas (same rationale as bench.py's wing warm-up) so
+    # the one-shot steady-state transients land OUTSIDE the timed
+    # loop — the rho-aware entry refresh (one refactorization at the
+    # first warm entry after a cold solve), the one-time XLA compiles
+    # of whatever n_ir sweep-menu variants the adaptive policy picks
     # (~2 min each through the axon remote-compile tunnel on a cold
-    # persistent cache; measured: 115-191 s "iterations" that are
-    # really compiles)
-    for k in range(2):
-        amp = 0.05 * (1.0 - 1e-3 * (k + 1))
+    # persistent cache), and the FIRST-IN-PROCESS LOADS of already-
+    # cached program variants (~15-18 s each through the tunnel:
+    # scripts/diag_mi_stages.py measured two timed adjoints at
+    # 16.4/17.9 s with zero refactorizations and healthy certificates
+    # — pure program-load cost; a 2-step warm-up did not sample the
+    # seeded/unseeded n_ir combinations the timed loop's rho/seed
+    # trajectory picks)
+    for dh in (-1e-3, -2e-3, 5e-4, 2.5e-4, -5e-4):
+        amp = 0.05 * (1.0 + dh)
         J, d, xi, g = opt_iteration(jnp.asarray(amp), d, xi)
         force(J, d, g)
 

@@ -60,7 +60,7 @@ def build_workload():
     h0 = jnp.asarray(th.init_h_ffd(wing.H_TH))
     d0 = sys_.zero_displacement()
     n_dofs = sys_.num_splines * sys_.stack.max_cp * 3
-    return vg, h0, d0, n_dofs
+    return vg, h0, d0, n_dofs, getattr(solve, "device_factor", None)
 
 
 def main():
@@ -75,7 +75,7 @@ def main():
 
     from goldfish_tpu.opt.warmstart import SecantWarmStart
 
-    vg, h0, d0, n_dofs = build_workload()
+    vg, h0, d0, n_dofs, fac = build_workload()
 
     def force(*xs):
         # jax.block_until_ready does NOT actually block on the axon TPU
@@ -93,15 +93,20 @@ def main():
     ws = SecantWarmStart()
     ws.update(h0, d)
 
-    # settle the adaptive IR sweep policy BEFORE timing: each distinct
-    # sweep count the policy picks is a separate XLA program whose
-    # one-time compile through the axon tunnel would otherwise land in
-    # a timed iteration as a 100 s outlier (CLAUDE.md round-3 facts).
-    # Cover BOTH step signs and a larger delta so the timed loop's
-    # rho-dependent n_ir choices hit only cached programs (a +1e-4-step
-    # program compiled here does not cover the n the policy picks after
-    # a -1e-4 or 5e-4 step — one such miss showed up as a 16.8 s timed
-    # outlier on an otherwise-warm cache).
+    # deterministically LOAD every sweep-menu program variant before
+    # timing: each distinct n_ir (x seeded/unseeded x dir) is a
+    # separate XLA program whose one-time compile costs 1-5 min
+    # through the axon tunnel AND whose first-in-process load of an
+    # already-cached binary still costs ~15-18 s (CLAUDE.md round-3
+    # facts) — a variant the warm-up trajectory happened not to sample
+    # showed up as a 16.1 s outlier inside the timed loop even after
+    # warm-up covered both step signs and several deltas.
+    if fac is not None and getattr(fac, "_ref", None) is not None:
+        fac.preload()
+
+    # settle the adaptive IR sweep policy BEFORE timing: cover BOTH
+    # step signs and a larger delta so the timed loop's rho-dependent
+    # n_ir choices enter with a realistic measured-contraction state.
     for dh in (-1e-4, -2e-4, 1e-4, 5e-4, -1e-4):
         hw = h0 * (1.0 + dh)
         (Jw, dw), gw = vg(hw, ws.predict(hw, d))

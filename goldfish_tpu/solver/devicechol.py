@@ -430,6 +430,41 @@ class PersistentDeviceFactor:
                 refactored = True
         return delta, float(slope)
 
+    def preload(self, menu=None):
+        """Force the first-in-process XLA program LOAD of every
+        sweep-menu variant of the three IR kernels (direction /
+        unseeded / seeded solve) against the current factor.
+
+        On the axon backend the first use of an already-compile-cached
+        program still pays a ~15-18 s load through the tunnel EVERY
+        process (CLAUDE.md round-3 facts); a variant hit lazily inside
+        a timed region shows up as a multi-second outlier with zero
+        refactorizations and healthy certificates (measured in the
+        wing/MI benches and the pegasus SLSQP run,
+        scripts/diag_mi_stages.py). Call once, untimed, after the
+        first factorization. The rhs is arbitrary (program identity
+        depends only on shapes + n_ir); policy state (rho_est,
+        last_ratio, cert_log) is untouched. All variants are
+        dispatched back-to-back and synchronized with ONE batched
+        readback."""
+        if self._ref is None:
+            raise RuntimeError("preload needs a factor: call ensure()")
+        cp, h, d = self._ref
+        b = jnp.asarray(self.data.free, dtype=cp.dtype)
+        outs = []
+        for n in (self._N_MENU if menu is None else menu):
+            _, r1, _ = _jvp_ir_dir(
+                self.data, self.dc._L, self.dc._invs, self.dc._dscale,
+                cp, h, d, b, nb=self.dc.nb, n_ir=n)
+            _, r2 = _jvp_ir_solve(
+                self.data, self.dc._L, self.dc._invs, self.dc._dscale,
+                cp, h, d, b, nb=self.dc.nb, n_ir=n)
+            _, r3 = _jvp_ir_solve_seeded(
+                self.data, self.dc._L, self.dc._invs, self.dc._dscale,
+                cp, h, d, b, b * 0.0, nb=self.dc.nb, n_ir=n)
+            outs += [r1, r2, r3]
+        jax.device_get(outs)
+
     def ir_solve_async(self, cp, h, d, b, x0=None, tol=1e-6):
         """ONE jvp-IR dispatch with NO readback: returns (x, ratio_dev,
         n_used). The caller fetches `ratio_dev` batched with its other

@@ -723,6 +723,38 @@ class PersistentDeviceFactorMI:
                 p=self.p, q=self.q, nb=self.dc.nb, n_ir=n)
         return x, ratio, n
 
+    def preload(self, menu=None):
+        """MI counterpart of devicechol.PersistentDeviceFactor.preload:
+        force the first-in-process XLA program LOAD of every sweep-menu
+        variant of the WB-corrected IR kernels (direction / unseeded /
+        seeded) against the current factor. On axon the first use of an
+        already-compile-cached program costs ~15-18 s through the
+        tunnel every process (scripts/diag_mi_stages.py measured timed
+        adjoints at 16-18 s with zero refactorizations and healthy
+        certificates — pure load). Untimed call after the first
+        factorization; policy state untouched; one batched readback."""
+        if self._ref is None:
+            raise RuntimeError("preload needs a factor: call ensure()")
+        cp, h, d, xi = self._ref
+        data, mi, co, ss = self.args
+        b = jnp.asarray(data.free, dtype=cp.dtype)
+        outs = []
+        for n in (self._N_MENU if menu is None else menu):
+            _, r1, _ = _jit_dir_mi_wb(
+                data, mi, co, ss, self.dc._L, self.dc._invs,
+                self.dc._dscale, self._Uoh, self._V, cp, h, xi, d, b,
+                p=self.p, q=self.q, nb=self.dc.nb, n_ir=n)
+            _, r2 = _jvp_ir_solve_mi_wb(
+                data, mi, co, ss, self.dc._L, self.dc._invs,
+                self.dc._dscale, self._Uoh, self._V, cp, h, xi, d, b,
+                p=self.p, q=self.q, nb=self.dc.nb, n_ir=n)
+            _, r3 = _jvp_ir_solve_mi_wb_seeded(
+                data, mi, co, ss, self.dc._L, self.dc._invs,
+                self.dc._dscale, self._Uoh, self._V, cp, h, xi, d, b,
+                b * 0.0, p=self.p, q=self.q, nb=self.dc.nb, n_ir=n)
+            outs += [r1, r2, r3]
+        jax.device_get(outs)
+
     def exact_solve(self, cp, h, xi, d, b, n_ir=None, tol=1e-6,
                     x0=None):
         data, mi, co, ss = self.args

@@ -242,6 +242,15 @@ def main():
     prob.set_objective(obj, scaler=1.0, state0=d0)
     prob.add_constraint("volume", vol, equals=V0, scaler=1e2)
     fac2 = getattr(solve, "device_factor", None)
+    # force-load every sweep-menu program variant UNTIMED: in the
+    # previous run first-in-process loads (~15-18 s each through the
+    # tunnel) of n_ir variants the warm-up had not sampled landed
+    # inside the SLSQP wall (a 12 s n=16 direction, a 55 s seeded
+    # adjoint load — scripts/diag_pegasus_slsqp.py)
+    if fac2 is not None and getattr(fac2, "_ref", None) is not None:
+        t0 = time.perf_counter()
+        fac2.preload()
+        print(f"preload {time.perf_counter() - t0:.1f}s", flush=True)
     nf0 = fac2.n_factor if fac2 is not None else 0
     nc0 = len(fac2.cert_log) if fac2 is not None else 0
     t0 = time.perf_counter()

@@ -270,3 +270,41 @@ def test_woodbury_seam_correction():
     rel = float(jnp.linalg.norm(lam_wb - lam_ref)
                 / (jnp.linalg.norm(lam_ref) + 1e-300))
     assert rel < 1e-8, rel
+
+
+def test_mi_preload_no_policy_side_effects(mi_sys):
+    """PersistentDeviceFactorMI.preload() force-loads the WB-IR
+    sweep-menu program variants (axon: ~15-18 s first-in-process load
+    each) without touching the adaptive-IR policy state, and the
+    factor still solves exactly afterwards."""
+    import pytest
+
+    from goldfish_tpu.solver.system_mi import (
+        PersistentDeviceFactorMI,
+        newton_solve_mi_host,
+    )
+
+    sys = mi_sys
+    data, mi, co, ss = sys.data, sys.mi, sys.co, sys.ss
+    p, q = sys.pdeg, sys.qdeg
+    fac = PersistentDeviceFactorMI(data, mi, co, ss, p, q)
+    with pytest.raises(RuntimeError):
+        fac.preload()  # no factor yet
+    xi0 = sys.c2x.solve(sys.cp)
+    d0, _, _ = newton_solve_mi_host(data, mi, co, ss, p, q, sys.cp,
+                                    sys.h_init, xi0,
+                                    sys.zero_displacement(),
+                                    rtol=1e-9, device_fac=fac)
+    fac.ensure(sys.cp, sys.h_init, xi0, d0, force=True)
+
+    state0 = (fac.rho_est, fac.last_ratio, len(fac.cert_log),
+              fac.n_factor, fac.nonconverged)
+    fac.preload(menu=(1, 2))  # subset: keep the CPU test cheap
+    assert (fac.rho_est, fac.last_ratio, len(fac.cert_log),
+            fac.n_factor, fac.nonconverged) == state0
+
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.normal(size=np.asarray(d0).shape)) * data.free
+    x = fac.exact_solve(sys.cp, sys.h_init, xi0, d0, b)
+    assert fac.last_ratio <= 1e-6 and not fac.nonconverged
+    assert np.isfinite(np.asarray(x)).all()

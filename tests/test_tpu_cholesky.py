@@ -93,6 +93,38 @@ def test_persistent_factor_seeded_exact_solve():
     assert not fac.nonconverged
 
 
+def test_preload_loads_variants_without_policy_side_effects():
+    """preload() force-loads the sweep-menu program variants (axon:
+    ~15-18 s first-in-process load each — must happen OUTSIDE timed
+    regions) and must leave the adaptive-IR policy state (rho_est,
+    last_ratio, cert_log, refactor count) untouched so it cannot bias
+    a subsequent solve's sweep choices."""
+    import pytest
+
+    from goldfish_tpu.solver.devicechol import PersistentDeviceFactor
+
+    sys = plate.build(num_el=3, p=2, num_patches=3)
+    d0 = sys.zero_displacement()
+    fac = PersistentDeviceFactor(sys.data, nb=128)
+    with pytest.raises(RuntimeError):
+        fac.preload()  # no factor yet
+    fac.ensure(sys.cp, sys.h_init, d0)
+
+    state0 = (fac.rho_est, fac.last_ratio, len(fac.cert_log),
+              fac.n_factor, fac.nonconverged)
+    fac.preload(menu=(1, 2))  # subset: keep the CPU test cheap
+    assert (fac.rho_est, fac.last_ratio, len(fac.cert_log),
+            fac.n_factor, fac.nonconverged) == state0
+
+    # the factor still solves exactly afterwards
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.normal(size=np.asarray(d0).shape)) \
+        * sys.data.free
+    x = fac.exact_solve(sys.cp, sys.h_init, d0, b)
+    assert fac.last_ratio <= 1e-6 and not fac.nonconverged
+    assert np.isfinite(np.asarray(x)).all()
+
+
 def test_ir_sweep_menu_quantization():
     """The adaptive IR policy only ever requests sweep counts from
     _N_MENU (each distinct count is a separate one-time-compiled XLA

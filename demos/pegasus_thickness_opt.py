@@ -25,8 +25,11 @@ import numpy as np
 
 
 def main(n_sections=18, num_el=3, p=3, maxiter=5, verbose=True,
-         checkpoint=None):
-    from goldfish_tpu.design.pipeline import ThicknessFFD
+         checkpoint=None, const_th=False):
+    from goldfish_tpu.design.pipeline import (
+        PatchConstantThickness,
+        ThicknessFFD,
+    )
     from goldfish_tpu.models import boxwing
     from goldfish_tpu.opt.problem import OptProblem
     from goldfish_tpu.physics import kl_shell
@@ -41,7 +44,14 @@ def main(n_sections=18, num_el=3, p=3, maxiter=5, verbose=True,
               f"intersections, {n_dofs} dofs "
               f"(build {time.perf_counter() - t0:.1f}s)", flush=True)
 
-    th = ThicknessFFD(sys_, num_els=(1, 6, 1), p=(1, 2, 1))
+    if const_th:
+        # one thickness dof per patch (the reference's
+        # pegasus_const_th_opt_wint.py HthMap parametrization)
+        th = PatchConstantThickness(sys_)
+        h_init = th.init_h(boxwing.H_TH)
+    else:
+        th = ThicknessFFD(sys_, num_els=(1, 6, 1), p=(1, 2, 1))
+        h_init = th.init_h_ffd(boxwing.H_TH)
     solve = build_solve_fn_krylov(sys_.data, rtol=1e-8, cg_rtol=1e-8)
     cp = sys_.cp
     V0 = float(sys_.volume())
@@ -57,7 +67,7 @@ def main(n_sections=18, num_el=3, p=3, maxiter=5, verbose=True,
         return kl_shell.volume(sys_.stack, cp, th(dvs["h_ffd"]))
 
     prob = OptProblem()
-    prob.add_design_var("h_ffd", th.init_h_ffd(boxwing.H_TH),
+    prob.add_design_var("h_ffd", h_init,
                         lower=boxwing.H_TH / 5, upper=boxwing.H_TH * 5,
                         scaler=1e2)
     prob.set_objective(obj, scaler=1.0, state0=sys_.zero_displacement())
@@ -91,6 +101,9 @@ if __name__ == "__main__":
     ap.add_argument("--maxiter", type=int, default=5)
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="npz path for process-death-safe resume")
+    ap.add_argument("--const-th", action="store_true",
+                    help="one thickness dof per patch (the reference's "
+                         "pegasus_const_th_opt_wint.py parametrization)")
     a = ap.parse_args()
     main(n_sections=a.sections, num_el=a.num_el, p=a.p,
-         maxiter=a.maxiter, checkpoint=a.checkpoint)
+         maxiter=a.maxiter, checkpoint=a.checkpoint, const_th=a.const_th)

@@ -18,8 +18,8 @@ import numpy as np
 from goldfish_tpu.design.ffd import FFDBlock, create_3D_block
 from goldfish_tpu.geometry.patch_stack import PatchMeta
 
-__all__ = ["CPLayout", "ThicknessFFD", "ShapeFFD", "MultiThicknessFFD",
-           "MultiShapeFFD"]
+__all__ = ["CPLayout", "ThicknessFFD", "PatchConstantThickness",
+           "ShapeFFD", "MultiThicknessFFD", "MultiShapeFFD"]
 
 
 class CPLayout:
@@ -83,6 +83,36 @@ class ThicknessFFD:
 
     def __call__(self, h_ffd):
         return self.layout.to_padded(self.F @ h_ffd)
+
+
+class PatchConstantThickness:
+    """h (n_patches,) -> padded thickness coefficients (P, C): one
+    constant thickness per patch.
+
+    The design map of the reference's const-thickness drivers — a
+    block of ones per patch (GOLDFISH/om_comps/ffd_comps/
+    hth_map_comp.py:48-56, used by demos_om/thickness_opt/pegasus/
+    pegasus_const_th_opt_wint.py:46-56). Padded CP slots follow
+    `CPLayout.to_padded`'s zero-padding convention (they carry zero
+    quadrature weight)."""
+
+    def __init__(self, system):
+        metas = system.metas
+        self.layout = CPLayout(metas, system.stack.max_cp)
+        reps = np.concatenate(
+            [np.full(m.n_cp, i) for i, m in enumerate(metas)])
+        self._patch_of = jnp.asarray(reps, dtype=jnp.int32)
+        self.n = len(metas)
+
+    def init_h(self, h0) -> np.ndarray:
+        """Initial per-patch design vector (scalar or per-patch list,
+        matching the reference's averaged init at
+        pegasus_const_th_opt_wint.py:34-35)."""
+        return np.broadcast_to(np.asarray(h0, dtype=float),
+                               (self.n,)).copy()
+
+    def __call__(self, h):
+        return self.layout.to_padded(h[self._patch_of])
 
 
 class ShapeFFD:

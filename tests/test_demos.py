@@ -45,6 +45,18 @@ def test_pegasus_reduced():
 
 
 @pytest.mark.slow
+def test_pegasus_const_th_reduced():
+    """Const-thickness pegasus variant: one design dof per patch (the
+    reference's pegasus_const_th_opt_wint.py parametrization)."""
+    from demos.pegasus_thickness_opt import main
+
+    res, sys_, th, wall = main(n_sections=3, num_el=2, p=2, maxiter=3,
+                               verbose=False, const_th=True)
+    assert res.fun < res.history[0]
+    assert len(res.x["h_ffd"]) == sys_.num_splines  # one dof per patch
+
+
+@pytest.mark.slow
 def test_evtol_demo_reduced():
     from demos.evtol_wing_shopt import main
 

@@ -81,3 +81,29 @@ def test_plate_thickness_optimization(plate_sys):
     root = h_op[0][np.asarray(sys.stack.cp_mask[0]) > 0].max()
     tip = h_op[2][np.asarray(sys.stack.cp_mask[2]) > 0].min()
     assert root > tip
+
+
+def test_patch_constant_thickness_map(plate_sys):
+    """PatchConstantThickness: one dof per patch broadcast to every
+    real CP of that patch, zero on padding (the reference's HthMap
+    block-of-ones, GOLDFISH/om_comps/ffd_comps/hth_map_comp.py:48-56)."""
+    import jax
+
+    from goldfish_tpu.design.pipeline import PatchConstantThickness
+
+    sys = plate_sys
+    th = PatchConstantThickness(sys)
+    v = jnp.asarray([0.01, 0.02, 0.03])
+    h = th(v)
+    assert h.shape == sys.h_init.shape
+    for i, m in enumerate(sys.metas):
+        assert np.allclose(np.asarray(h[i, : m.n_cp]), float(v[i]))
+        assert np.allclose(np.asarray(h[i, m.n_cp:]), 0.0)
+    # init_h broadcasts a scalar and copies a per-patch vector
+    assert np.allclose(th.init_h(0.05), 0.05)
+    assert np.allclose(th.init_h([1.0, 2.0, 3.0]), [1.0, 2.0, 3.0])
+    # the map is linear: exact jacobian-vector identity
+    g = jax.grad(lambda vv: jnp.sum(th(vv) ** 2))(v)
+    expect = np.asarray([2 * float(v[i]) * m.n_cp
+                         for i, m in enumerate(sys.metas)])
+    assert np.allclose(np.asarray(g), expect)

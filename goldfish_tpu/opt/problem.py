@@ -58,6 +58,8 @@ class OptResult:
     success: bool
     message: str
     history: list = field(default_factory=list)
+    nfev: int = -1   # objective (forward-only) evaluations
+    njev: int = -1   # gradient (adjoint) evaluations
 
 
 class OptProblem:
@@ -286,21 +288,40 @@ class OptProblem:
         maybe_jit = jax.jit if jax.default_backend() == "cpu" \
             else (lambda f: f)
 
+        # SEPARATE fun and jac callables (NOT a combined jac=True
+        # callback): scipy wraps a combined callback in MemoizeJac,
+        # which computes the GRADIENT at every fun(x) call — so every
+        # SLSQP line-search TRIAL point paid a full adjoint solve + vjp
+        # (~2 s each at pegasus scale, plus persistent-factor churn at
+        # wild trial states) for a number it never uses. With the
+        # split, trials pay forward-only; the gradient runs only where
+        # scipy asks for it (accepted iterates), where the forward
+        # re-entry inside value_and_grad is warm (the Newton loop exits
+        # at its entry convergence check).
         if has_state:
             def raw(x, state):
                 dvs = self._unflatten(x)
                 J, new_state = self._obj(dvs, state)
                 return self._obj_scaler * J, new_state
 
+            f_fwd = maybe_jit(raw)
             vg = maybe_jit(jax.value_and_grad(raw, has_aux=True))
 
-            def f_obj(x):
-                (J, new_state), g = vg(jnp.asarray(x), state_box[0])
+            def f_fun(x):
+                J, new_state = f_fwd(jnp.asarray(x), state_box[0])
                 # ONE batched readback (each separate float()/asarray
                 # pays its own ~30 ms axon tunnel roundtrip), and the
                 # warm-start state commits ONLY when finite: a diverged
                 # line-search trial must not poison every subsequent
                 # evaluation's warm start with NaN
+                ok_ = jnp.isfinite(new_state).all()
+                Jv, ok = jax.device_get((J, ok_))
+                if bool(ok):
+                    state_box[0] = new_state
+                return float(Jv)
+
+            def f_jac(x):
+                (J, new_state), g = vg(jnp.asarray(x), state_box[0])
                 ok_ = jnp.isfinite(new_state).all()
                 Jv, gv, ok = jax.device_get((J, g, ok_))
                 if bool(ok):
@@ -310,9 +331,13 @@ class OptProblem:
             def raw(x):
                 return self._obj_scaler * self._obj(self._unflatten(x))
 
+            f_fwd = maybe_jit(raw)
             vg = maybe_jit(jax.value_and_grad(raw))
 
-            def f_obj(x):
+            def f_fun(x):
+                return float(jax.device_get(f_fwd(jnp.asarray(x))))
+
+            def f_jac(x):
                 J, g = vg(jnp.asarray(x))
                 Jv, gv = jax.device_get((J, g))
                 return float(Jv), np.asarray(gv, dtype=np.float64)
@@ -320,22 +345,32 @@ class OptProblem:
         # survive transient device failures (axon worker restarts):
         # the evaluations are pure (state commits only on success), so
         # a retry is an exact re-run (utils/retry.py)
-        f_obj = retry_transient(f_obj)
+        f_fun = retry_transient(f_fun)
+        f_jac = retry_transient(f_jac)
 
-        # single-entry memo: scipy's ScalarFunction caches the last x
-        # on ITS side, but the per-iteration callback below calls f_obj
-        # directly — without this memo every SLSQP iteration paid one
-        # FULL extra objective+gradient evaluation (a forward solve +
-        # adjoint) just to print/record J, and scipy's next-iteration
-        # fun(x) at the same accepted point paid yet another
-        _memo = {}
-        _f_obj_raw = f_obj
+        # single-entry memos: scipy's ScalarFunction caches the last x
+        # on ITS side, but the per-iteration callback below calls the
+        # objective directly — without this memo every SLSQP iteration
+        # paid one FULL extra objective evaluation (a forward solve)
+        # just to print/record J, and scipy's next-iteration fun(x) at
+        # the same accepted point paid yet another. A jac evaluation
+        # also yields J, so it seeds the fun memo.
+        _memo_f = {}
+        _memo_g = {}
 
-        def f_obj(x):
+        def fun(x):
             key = np.asarray(x, dtype=np.float64).tobytes()
-            if _memo.get("k") != key:
-                _memo["k"], _memo["v"] = key, _f_obj_raw(x)
-            return _memo["v"]
+            if _memo_f.get("k") != key:
+                _memo_f["k"], _memo_f["v"] = key, f_fun(x)
+            return _memo_f["v"]
+
+        def jac(x):
+            key = np.asarray(x, dtype=np.float64).tobytes()
+            if _memo_g.get("k") != key:
+                Jv, gv = f_jac(x)
+                _memo_g["k"], _memo_g["v"] = key, gv
+                _memo_f["k"], _memo_f["v"] = key, Jv
+            return _memo_g["v"]
 
         cons = []
         for c in self._cons:
@@ -373,7 +408,7 @@ class OptProblem:
         history = []
 
         def cb(x):
-            J, _ = f_obj(x)
+            J = fun(x)
             history.append(J)
             if verbose:
                 print(f"  slsqp iter {len(history)}: J = {J:.6e}")
@@ -381,7 +416,7 @@ class OptProblem:
                 self.iter_callback(self._unflatten(jnp.asarray(x)), J)
 
         res = minimize(
-            f_obj, self._x0(), jac=True, method="SLSQP",
+            fun, self._x0(), jac=jac, method="SLSQP",
             bounds=self._bounds(), constraints=cons, callback=cb,
             options=dict(maxiter=maxiter, ftol=tol, disp=verbose))
 
@@ -389,4 +424,6 @@ class OptProblem:
                  self._unflatten(jnp.asarray(res.x)).items()}
         return OptResult(x=xdict, fun=float(res.fun) / self._obj_scaler,
                          nit=int(res.nit), success=bool(res.success),
-                         message=str(res.message), history=history)
+                         message=str(res.message), history=history,
+                         nfev=int(getattr(res, "nfev", -1)),
+                         njev=int(getattr(res, "njev", -1)))

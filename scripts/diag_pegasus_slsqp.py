@@ -120,8 +120,8 @@ def main():
     t0 = time.perf_counter()
     res = prob.run_slsqp(maxiter=3, tol=1e-12, verbose=True)
     t_slsqp = time.perf_counter() - t0
-    print(f"SLSQP {res.nit} its {t_slsqp:.1f}s J->{res.fun:.6e}",
-          flush=True)
+    print(f"SLSQP {res.nit} its {t_slsqp:.1f}s J->{res.fun:.6e} "
+          f"nfev={res.nfev} njev={res.njev}", flush=True)
 
     # ---- attribution
     tot = {}

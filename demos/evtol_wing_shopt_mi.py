@@ -198,7 +198,7 @@ def _profile_operator(knots, p):
     return T
 
 
-def design_map(sys, y_rib0, variant="rspar_rrib"):
+def design_map(sys, y_rib0, variant="rspar_rrib", s0=(0.30, 0.30)):
     """Affine map cp_flat = A @ x_design + offset (the custom align
     comp's matrix; reference:
     custom_comps/evtol_rspar_srib_align_comp.py:95-107 builds the same
@@ -225,19 +225,40 @@ def design_map(sys, y_rib0, variant="rspar_rrib"):
     x0 = np.empty(n_dv)
     lower = np.empty(n_dv)
     upper = np.empty(n_dv)
-    s0 = 0.30
-    x0[:n_spar] = s0
+    # The spar bases are nodal-interpolatory (values at eta nodes), so
+    # the x0 consistent with the geometry the system was BUILT at is
+    # the build design s(eta) = s_root*(1-eta) + s_tip*eta evaluated at
+    # each dof's node — a hard-coded 0.30 here would silently jump the
+    # spar on the first model evaluation when design0 != (0.30, 0.30).
+    s_root0, s_tip0 = s0
+    spar_etas = {"rspar": [0.0, 1.0],
+                 "sspar": [0.0, 1.0, 0.0, 1.0],
+                 "qspar": [0.0, 0.5, 1.0, 0.0, 0.5, 1.0]}[spar_mode]
+    # each dof is the chord FRACTION at its station; the built ruled
+    # spar's x-offset is linear in y, so its fraction at station eta is
+    # [(1-eta) s_root c(0) + eta s_tip c(L)] / c(eta L)
+    x0[:n_spar] = [(s_root0 * (1.0 - e) * _chord(0.0)
+                    + s_tip0 * e * _chord(L)) / _chord(e * L)
+                   for e in spar_etas]
     lower[:n_spar] = 0.15
     upper[:n_spar] = 0.80
 
-    # spar (patch 2): x_cp = x_le(y_cp) + s(eta, zeta) * chord(y_cp)
+    # spar (patch 2): x_cp = x_le(y_cp) + sum_j basis_j(eta, zeta) *
+    # s_j * chord(y_node_j) — each dof s_j is the chord fraction AT its
+    # station, weighted by that station's own chord (NOT chord(y_cp)):
+    # this propagates the station x-offsets linearly between nodes, so
+    # the spar stays RULED between stations exactly like the reference's
+    # align comps (custom_comps/evtol_rspar_srib_align_comp.py:95-107,
+    # linear-in-y CP coupling) and like build_system's ruled() spar —
+    # with chord(y_cp) the map bent the spar quadratically for
+    # s_root != s_tip and could not reproduce a ruled build at x0.
     o2 = offs[2]
     for k in range(sys.metas[2].n_cp):
         row = (o2 + k) * 3 + 0
         y, z = cp0[o2 + k, 1], cp0[o2 + k, 2]
         basis = _spar_basis(spar_mode, y / L, z / BOX_H)
         for j, b in enumerate(basis):
-            A[row, j] = b * _chord(y)
+            A[row, j] = b * _chord(spar_etas[j] * L)
         offset[row] = _x_le(y)
 
     # rib (patch 3): front/rear stations slaved to the planform lines
@@ -393,7 +414,8 @@ def build_problem(num_el=4, p=3, maxiter=6, design0=(0.30, 0.30, 0.45),
     s_root, s_tip, y_frac = design0
     sys = build_system(s_root=s_root, s_tip=s_tip, y_rib_frac=y_frac,
                        num_el=num_el, p=p, h_th=h_th)
-    dmap = design_map(sys, y_rib0=y_frac * HALF_SPAN, variant=variant)
+    dmap = design_map(sys, y_rib0=y_frac * HALF_SPAN, variant=variant,
+                      s0=(s_root, s_tip))
     model = ShapeOptGroup(nonmatching_sys=sys, design_map=dmap)
     model.init_parameters()
     prob = om.Problem(model=model)

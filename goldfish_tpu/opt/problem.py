@@ -229,6 +229,14 @@ class OptProblem:
             for c in self._cons:
                 Jc = np.asarray(con_jacs[c.name](x), dtype=np.float64)
                 out[c.name] = {n: Jc[:, slices[n]] for n in names}
+            # pyOptSparse calls sens once per accepted major iteration —
+            # the analogue of run_slsqp's per-iteration callback hook
+            # (problem.py cb), so checkpointing (utils/checkpoint) fires
+            # on this path too. Same convention as run_slsqp: the
+            # callback sees the SCALED objective.
+            if self.iter_callback is not None:
+                self.iter_callback(self._unflatten(x),
+                                   float(np.asarray(funcs["obj"]).ravel()[0]))
             return out, False
 
         sens = retry_transient(sens)
@@ -270,7 +278,11 @@ class OptProblem:
                              for n in names])
         xdict = {k: np.asarray(v)
                  for k, v in self._unflatten(x).items()}
-        return OptResult(x=xdict, fun=float(sol.fStar),
+        # descale like run_slsqp (res.fun / self._obj_scaler): callers
+        # must see the same objective value whichever driver ran
+        return OptResult(x=xdict,
+                         fun=float(np.asarray(sol.fStar).ravel()[0])
+                         / self._obj_scaler,
                          nit=int(getattr(sol, "nIter", -1)),
                          success=bool(getattr(sol, "success", True)),
                          message=str(sol.optInform),

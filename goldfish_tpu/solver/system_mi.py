@@ -654,8 +654,6 @@ class PersistentDeviceFactorMI:
         tol=1e-3 is inexact-Newton forcing — the line search and the
         next residual measure actual progress, only adjoints need the
         1e-6 grade."""
-        import math
-
         data, mi, co, ss = self.args
         rho_entry = self.rho_est
         refactored = False
@@ -774,8 +772,6 @@ class PersistentDeviceFactorMI:
                 self.rho_est = max(self._rho(n), self._RHO0)
                 return x
             # bad seed or stale factor: fall through unseeded
-        import math
-
         rho_entry = self.rho_est
         refactored = False
         for attempt in range(5):

@@ -113,7 +113,17 @@ def resume_run(prob, ckpt: Checkpointer, maxiter=100, state_box=None,
         if state is not None and state_box is not None:
             state_box[0] = state
         done = int(meta.get("iter", 0))
+    if snap is not None and done >= int(maxiter):
+        # Budget already exhausted by previous processes: restore-only.
+        # Running "one more iteration" here would let a supervising
+        # retry loop overrun maxiter indefinitely on a flaky machine.
+        from goldfish_tpu.opt.problem import OptResult
+        design, _, meta = snap
+        return OptResult(
+            x={k: np.asarray(v) for k, v in design.items()},
+            fun=float(meta.get("J", np.nan)), nit=0, success=True,
+            message=f"resume: {done} >= maxiter={int(maxiter)} "
+                    "iterations already completed", history=[]), done
     ckpt.attach(prob, state_box=state_box, start_iter=done)
-    remaining = max(int(maxiter) - done, 1)
-    res = prob.run(maxiter=remaining, **run_kwargs)
+    res = prob.run(maxiter=int(maxiter) - done, **run_kwargs)
     return res, done

@@ -192,6 +192,18 @@ def test_evtol_mi_variant_design_maps():
         assert np.abs(A @ x0 + offset - cp0).max() < 1e-12
         assert np.all(lo <= x0) and np.all(x0 <= up)
 
+    # x0 must reproduce the geometry the system was BUILT at, also for
+    # a NON-default design0 (s0 threads through — a hard-coded 0.30
+    # would silently jump the spar on the first model evaluation)
+    sys_b = build_system(s_root=0.45, s_tip=0.20, num_el=2, p=2)
+    cp_b = np.array(CPLayout(sys_b.metas, sys_b.stack.max_cp)
+                    .to_flat(sys_b.cp)).ravel()
+    for v in ("rspar_rrib", "sspar_srib", "qspar_rrib"):
+        A, offset, x0, lo, up = design_map(
+            sys_b, y_rib0=0.45 * HALF_SPAN, variant=v,
+            s0=(0.45, 0.20))
+        assert np.abs(A @ x0 + offset - cp_b).max() < 1e-12
+
     # outer variant: exact seam coincidence at a non-trivial design
     A, offset, x0, lo, up = design_map(
         sys_, y_rib0=0.45 * HALF_SPAN, variant="rspar_rrib_outer")

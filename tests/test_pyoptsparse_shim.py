@@ -96,6 +96,30 @@ def test_snopt_scaled_two_groups():
     np.testing.assert_allclose(res.x["b"], [1.25], atol=1e-5)
 
 
+def test_snopt_descales_objective_and_fires_iter_callback():
+    """res.fun must be the UNSCALED objective whichever driver ran
+    (run_slsqp descales res.fun / obj_scaler — _run_pyoptsparse must
+    match), and the per-iteration callback hook (checkpointing,
+    utils/checkpoint.resume_run) must fire on the pyoptsparse path
+    with the SCALED objective (same convention as run_slsqp's cb)."""
+    prob = _qp_problem()
+    # rebuild the objective with a scaler: _qp_problem sets scaler=1
+    obj = prob._obj
+    prob.set_objective(obj, scaler=100.0)
+    seen = []
+    prob.iter_callback = lambda xdict, J: seen.append(
+        (np.asarray(xdict["x"]), float(J)))
+    res = prob.run(optimizer="SNOPT", maxiter=200, tol=1e-12)
+    assert res.success, res.message
+    # unscaled optimum value is 0.5 regardless of the driver scaler
+    assert abs(res.fun - 0.5) < 1e-8
+    assert len(seen) >= 1
+    x_last, J_last = seen[-1]
+    # callback sees the driver-SCALED objective and the UNSCALED dvs
+    assert abs(J_last - 100.0 * 0.5) < 1e-4
+    np.testing.assert_allclose(x_last, [0.5, 1.5], atol=1e-4)
+
+
 def test_maxiter_option_forwarded():
     """run(maxiter=1) must actually cap the engine (the generic ->
     wrapper option-name translation in _run_pyoptsparse)."""

@@ -118,6 +118,37 @@ def test_resume_run_survives_process_death(tmp_path):
     assert meta2["iter"] > 2
 
 
+def test_resume_run_exhausted_budget_is_restore_only(tmp_path):
+    """A snapshot recording done >= maxiter must NOT run any further
+    optimizer iterations (a supervising retry loop re-invoking after a
+    crash at the budget would otherwise overrun maxiter forever)."""
+    import jax.numpy as jnp
+
+    from goldfish_tpu.opt.problem import OptProblem
+    from goldfish_tpu.utils.checkpoint import resume_run
+
+    ckpt_path = str(tmp_path / "full.npz")
+    x_done = np.array([0.1, 0.2])
+    Checkpointer(ckpt_path).save({"x": x_done},
+                                 meta={"iter": 5, "J": 1.25})
+
+    prob = OptProblem()
+    prob.add_design_var("x", np.zeros(2))
+    evals = [0]
+
+    def obj(dvs):
+        evals[0] += 1
+        return jnp.sum(dvs["x"] ** 2)
+    prob.set_objective(obj)
+
+    res, done = resume_run(prob, Checkpointer(ckpt_path), maxiter=5)
+    assert done == 5
+    assert evals[0] == 0                      # no objective evaluation
+    assert res.nit == 0 and res.success
+    np.testing.assert_allclose(res.x["x"], x_done)
+    assert abs(res.fun - 1.25) < 1e-14
+
+
 def test_profiler():
     import jax.numpy as jnp
 

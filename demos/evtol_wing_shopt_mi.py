@@ -431,9 +431,9 @@ def main(num_el=4, p=3, maxiter=6, verbose=True, variant="rspar_rrib"):
     prob, sys = build_problem(num_el=num_el, p=p, maxiter=maxiter,
                               variant=variant)
     prob.run_model()
-    J0 = float(prob["int_energy_comp.w_int"])
+    J0 = float(np.asarray(prob["int_energy_comp.w_int"]).ravel()[0])
     prob.run_driver()
-    J1 = float(prob["int_energy_comp.w_int"])
+    J1 = float(np.asarray(prob["int_energy_comp.w_int"]).ravel()[0])
     x = np.asarray(prob["inputs_comp.spar_rib_design"])
     edge = np.asarray(prob["int_xi_edge_comp.int_xi_edge"])
     if verbose:

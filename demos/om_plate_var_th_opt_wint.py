@@ -187,10 +187,10 @@ def build_problem(num_el=3, p=2, num_patches=2, ffd_els=(4, 2, 1),
 def main():
     prob, sys, th = build_problem()
     prob.run_model()
-    J0 = float(prob["int_energy_comp.w_int"])
+    J0 = float(np.asarray(prob["int_energy_comp.w_int"]).ravel()[0])
     prob.run_driver()
-    J1 = float(prob["int_energy_comp.w_int"])
-    vol = float(prob["volume_comp.volume"])
+    J1 = float(np.asarray(prob["int_energy_comp.w_int"]).ravel()[0])
+    vol = float(np.asarray(prob["volume_comp.volume"]).ravel()[0])
     print(f"w_int {J0:.6e} -> {J1:.6e} ({100 * (1 - J1 / J0):.1f}% lower)"
           f"  volume {vol:.6e} (target {prob.model.vol_val:.6e})")
     assert J1 < J0

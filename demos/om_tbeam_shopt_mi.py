@@ -252,9 +252,9 @@ def build_problem(num_el=4, p=3, n_pts=12, design_nel=(1, 1), maxiter=6):
 def main():
     prob, sys, d2a = build_problem()
     prob.run_model()
-    J0 = float(prob["int_energy_comp.w_int"])
+    J0 = float(np.asarray(prob["int_energy_comp.w_int"]).ravel()[0])
     prob.run_driver()
-    J1 = float(prob["int_energy_comp.w_int"])
+    J1 = float(np.asarray(prob["int_energy_comp.w_int"]).ravel()[0])
     print(f"w_int {J0:.6e} -> {J1:.6e} ({100 * (1 - J1 / J0):.1f}% lower)")
     assert J1 < J0
     return prob

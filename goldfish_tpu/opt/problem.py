@@ -216,6 +216,8 @@ class OptProblem:
                     c.fn(self._unflatten(x))))
             for c in self._cons}
 
+        n_sens = [0]
+
         def sens(xdict, funcs):
             x = _flat(xdict)
             if self._state0 is not None:
@@ -233,8 +235,13 @@ class OptProblem:
             # the analogue of run_slsqp's per-iteration callback hook
             # (problem.py cb), so checkpointing (utils/checkpoint) fires
             # on this path too. Same convention as run_slsqp: the
-            # callback sees the SCALED objective.
-            if self.iter_callback is not None:
+            # callback sees the SCALED objective. The FIRST sens call is
+            # the start-point gradient (SNOPT and the shim's scipy
+            # engines both evaluate it before any step is accepted) —
+            # skip it so the persisted 'iter' counter matches accepted
+            # iterations and resume_run's remaining budget is exact.
+            n_sens[0] += 1
+            if self.iter_callback is not None and n_sens[0] > 1:
                 self.iter_callback(self._unflatten(x),
                                    float(np.asarray(funcs["obj"]).ravel()[0]))
             return out, False

@@ -119,9 +119,16 @@ def resume_run(prob, ckpt: Checkpointer, maxiter=100, state_box=None,
         # retry loop overrun maxiter indefinitely on a flaky machine.
         from goldfish_tpu.opt.problem import OptResult
         design, _, meta = snap
+        # meta['J'] is recorded by the iter_callback convention (both
+        # run_slsqp's cb and the pyoptsparse sens hook), which sees the
+        # SCALED objective; normal runs descale res.fun by obj_scaler,
+        # so the restore-only path must too or an exhausted-budget
+        # resume reports fun obj_scaler-times off.
+        obj_scaler = float(getattr(prob, "_obj_scaler", 1.0) or 1.0)
         return OptResult(
             x={k: np.asarray(v) for k, v in design.items()},
-            fun=float(meta.get("J", np.nan)), nit=0, success=True,
+            fun=float(meta.get("J", np.nan)) / obj_scaler,
+            nit=0, success=True,
             message=f"resume: {done} >= maxiter={int(maxiter)} "
                     "iterations already completed", history=[]), done
     ckpt.attach(prob, state_box=state_box, start_iter=done)

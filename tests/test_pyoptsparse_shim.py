@@ -118,6 +118,12 @@ def test_snopt_descales_objective_and_fires_iter_callback():
     # callback sees the driver-SCALED objective and the UNSCALED dvs
     assert abs(J_last - 100.0 * 0.5) < 1e-4
     np.testing.assert_allclose(x_last, [0.5, 1.5], atol=1e-4)
+    # the START-POINT gradient (every engine's first sens call) must
+    # NOT fire the callback: the persisted 'iter' counter counts
+    # ACCEPTED iterations, or resume_run's remaining budget under-runs
+    x_first, _ = seen[0]
+    assert not np.allclose(x_first, 0.0), \
+        "first callback fired at the initial point (start-point sens)"
 
 
 def test_maxiter_option_forwarded():

@@ -148,6 +148,19 @@ def test_resume_run_exhausted_budget_is_restore_only(tmp_path):
     np.testing.assert_allclose(res.x["x"], x_done)
     assert abs(res.fun - 1.25) < 1e-14
 
+    # obj_scaler != 1: the checkpointed meta['J'] follows the
+    # iter_callback convention (SCALED objective), while normal runs
+    # descale res.fun by obj_scaler — the restore-only path must too.
+    prob_s = OptProblem()
+    prob_s.add_design_var("x", np.zeros(2))
+    prob_s.set_objective(lambda dvs: jnp.sum(dvs["x"] ** 2), scaler=100.0)
+    Checkpointer(str(tmp_path / "scaled.npz")).save(
+        {"x": x_done}, meta={"iter": 5, "J": 100.0 * 0.25})
+    res_s, done_s = resume_run(prob_s, Checkpointer(
+        str(tmp_path / "scaled.npz")), maxiter=5)
+    assert done_s == 5 and res_s.nit == 0
+    assert abs(res_s.fun - 0.25) < 1e-12      # unscaled, like a live run
+
 
 def test_profiler():
     import jax.numpy as jnp

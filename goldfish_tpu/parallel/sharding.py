@@ -23,6 +23,8 @@ weight/mask, so no NaN guards are needed anywhere).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,13 +32,71 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from goldfish_tpu.solver.system import SystemData
 
-__all__ = ["make_mesh", "pad_system", "pad_patch_array", "system_shardings",
+__all__ = ["maybe_init_distributed", "make_mesh", "padded_patch_count",
+           "pad_system", "pad_patch_array", "system_shardings",
            "shard_system"]
 
 
+def maybe_init_distributed(coordinator=None, num_processes=None,
+                           process_id=None, env=None) -> bool:
+    """Guarded multi-host entry point (the role of the reference's MPI
+    world, reference: GOLDFISH/utils/opt_utils.py:28-54 allgather and
+    nonmatching_opt.py:719-723 size branches — patch distribution over
+    ranks becomes patch sharding over a global device mesh).
+
+    Reads the standard JAX cluster env vars (or GOLDFISH_* overrides /
+    explicit arguments) and calls `jax.distributed.initialize`; after
+    it returns True, `jax.devices()` is GLOBAL and `make_mesh()` builds
+    the cross-host mesh, with `padded_patch_count` sizing the phantom
+    padding from the global device count. No-op (returns False) when
+    unconfigured or single-process — the 1-chip bench environment and
+    the CPU test environment take that path, and real multi-host cannot
+    run here: the mesh/padding logic is instead unit-tested with mocked
+    process/device counts (tests/test_sharding.py) and the driver's
+    `dryrun_multichip` executes it on 8 virtual devices.
+
+    Env vars (first match wins):
+      coordinator: GOLDFISH_COORDINATOR, JAX_COORDINATOR_ADDRESS
+      num_processes: GOLDFISH_NUM_PROCESSES, JAX_NUM_PROCESSES
+      process_id: GOLDFISH_PROCESS_ID, JAX_PROCESS_ID
+    """
+    env = os.environ if env is None else env
+
+    def pick(explicit, *keys):
+        if explicit is not None:
+            return explicit
+        for k in keys:
+            v = env.get(k)
+            if v not in (None, ""):
+                return v
+        return None
+
+    coord = pick(coordinator, "GOLDFISH_COORDINATOR",
+                 "JAX_COORDINATOR_ADDRESS")
+    n = pick(num_processes, "GOLDFISH_NUM_PROCESSES", "JAX_NUM_PROCESSES")
+    pid = pick(process_id, "GOLDFISH_PROCESS_ID", "JAX_PROCESS_ID")
+    if coord is None or n is None or int(n) <= 1:
+        return False
+    jax.distributed.initialize(coordinator_address=str(coord),
+                               num_processes=int(n),
+                               process_id=int(pid or 0))
+    return True
+
+
 def make_mesh(devices=None, axis: str = "patch") -> Mesh:
+    """Patch mesh over `devices` (default: ALL devices — global across
+    hosts after `maybe_init_distributed`)."""
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis,))
+
+
+def padded_patch_count(n_patches: int, n_devices: int) -> int:
+    """Phantom-padded patch count: the smallest multiple of the
+    (global) device count >= n_patches, so every device carries the
+    same number of patch shards (the reference's rank load balancing,
+    opt_utils.py:28-54, done by padding instead of ragged scatter)."""
+    assert n_patches >= 1 and n_devices >= 1
+    return int(-(-n_patches // n_devices) * n_devices)
 
 
 def _pad_leading(x, P_new, mode):

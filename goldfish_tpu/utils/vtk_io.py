@@ -14,7 +14,8 @@ import os
 
 import numpy as np
 
-__all__ = ["write_structured_vtk", "write_cp_vtk", "SurfaceWriter"]
+__all__ = ["write_structured_vtk", "write_cp_vtk", "write_vtu",
+           "PVDSeries", "SurfaceWriter"]
 
 
 def write_structured_vtk(path, points, point_data=None):
@@ -63,6 +64,110 @@ def write_structured_vtk(path, points, point_data=None):
         f.write("\n".join(lines) + "\n")
 
 
+def _xml_array(name, a, ncomp, dtype="Float64"):
+    flat = np.asarray(a).reshape(-1)
+    body = " ".join(f"{x:.16g}" if dtype == "Float64" else str(int(x))
+                    for x in flat)
+    nm = f' Name="{name}"' if name else ""
+    return (f'<DataArray type="{dtype}"{nm} '
+            f'NumberOfComponents="{ncomp}" format="ascii">\n'
+            f"{body}\n</DataArray>")
+
+
+def write_vtu(path, points, point_data=None):
+    """ParaView-pipeline-compatible XML UnstructuredGrid (`.vtu`).
+
+    The reference's output files are `.pvd`/`.vtu` series written by
+    FEniCS `File` objects (reference: GOLDFISH/nonmatching_opt.py
+    :1448-1576) and consumed by its ParaView CLI
+    (visualization/view_results.py:1-40); a user's existing ParaView
+    workflow expects that format. This writer emits the same file
+    family from a structured (n_u, n_v, 3) NURBS sample: points in
+    v-major order and one VTK_QUAD (type 9) cell per sample-grid cell.
+
+    point_data: dict name -> (n_u, n_v) scalars or (n_u, n_v, 3)
+    vectors (same convention as `write_structured_vtk`).
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    assert pts.ndim == 3 and pts.shape[-1] == 3, pts.shape
+    nu, nv, _ = pts.shape
+    n = nu * nv
+    # match the legacy writer's file order (x fastest <=> u fastest)
+    order = pts.transpose(1, 0, 2).reshape(-1, 3)
+
+    def pid(iu, iv):
+        return iv * nu + iu
+
+    conn = []
+    for iv in range(nv - 1):
+        for iu in range(nu - 1):
+            conn.append([pid(iu, iv), pid(iu + 1, iv),
+                         pid(iu + 1, iv + 1), pid(iu, iv + 1)])
+    conn = np.asarray(conn, dtype=np.int64)
+    ncell = conn.shape[0]
+
+    pdata = []
+    for name, arr in (point_data or {}).items():
+        a = np.asarray(arr, dtype=np.float64)
+        if a.ndim == 3 and a.shape[-1] == 3:
+            flat = a.transpose(1, 0, 2).reshape(-1, 3)
+            pdata.append(_xml_array(name, flat, 3))
+        else:
+            assert a.shape == (nu, nv), (name, a.shape)
+            pdata.append(_xml_array(name, a.transpose(1, 0), 1))
+
+    xml = f"""<?xml version="1.0"?>
+<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">
+<UnstructuredGrid>
+<Piece NumberOfPoints="{n}" NumberOfCells="{ncell}">
+<Points>
+{_xml_array(None, order, 3)}
+</Points>
+<Cells>
+{_xml_array("connectivity", conn, 1, "Int32")}
+{_xml_array("offsets", 4 * np.arange(1, ncell + 1), 1, "Int32")}
+{_xml_array("types", np.full(ncell, 9), 1, "UInt8")}
+</Cells>
+<PointData>
+{chr(10).join(pdata)}
+</PointData>
+</Piece>
+</UnstructuredGrid>
+</VTKFile>
+"""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(xml)
+
+
+class PVDSeries:
+    """ParaView collection (`.pvd`) time-series writer — the role of
+    one FEniCS `File("....pvd")` in the reference (nonmatching_opt.py
+    :1448-1576: one pvd per field per patch, re-written every
+    `save_files` call so the series is openable mid-run)."""
+
+    def __init__(self, path):
+        self.path = path
+        self.entries = []  # (timestep, part, relative file)
+
+    def add(self, file, timestep, part=0):
+        rel = os.path.relpath(file, os.path.dirname(self.path) or ".")
+        self.entries.append((float(timestep), int(part), rel))
+        self.write()
+
+    def write(self):
+        rows = "\n".join(
+            f'<DataSet timestep="{t:g}" part="{p}" file="{f}"/>'
+            for t, p, f in sorted(self.entries))
+        xml = ('<?xml version="1.0"?>\n'
+               '<VTKFile type="Collection" version="0.1" '
+               'byte_order="LittleEndian">\n<Collection>\n'
+               f"{rows}\n</Collection>\n</VTKFile>\n")
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "w") as f:
+            f.write(xml)
+
+
 def write_cp_vtk(path, control_points):
     """Control-net output (reference VTKWriter.write_cp)."""
     cp = np.asarray(control_points, dtype=np.float64)
@@ -76,11 +181,19 @@ class SurfaceWriter:
     create_files/save_files called from DispStatesComp.linearize,
     reference: om_comps/disp_states_comp.py:100-105)."""
 
-    def __init__(self, system, save_path="./results", n_eval=33):
+    def __init__(self, system, save_path="./results", n_eval=33,
+                 fmt="vtk"):
+        """fmt: 'vtk' (legacy ASCII, the matplotlib viewer's native
+        input) or 'vtu' (XML + a per-patch `.pvd` time series, the
+        reference's ParaView pipeline format — an existing ParaView
+        workflow opens `surf{ip}.pvd` and scrubs iterations)."""
+        assert fmt in ("vtk", "vtu"), fmt
         self.system = system
         self.save_path = save_path
         self.n_eval = n_eval
+        self.fmt = fmt
         self.counter = 0
+        self._pvd = {}
 
     def save(self, d=None, h=None, tag=None):
 
@@ -104,7 +217,16 @@ class SurfaceWriter:
                 hloc = np.asarray(h[ip])[conn]
                 th = np.einsum("nl,nl->n", tab[(0, 0)], hloc)
                 data["thickness"] = th.reshape(self.n_eval, self.n_eval)
-            write_structured_vtk(
-                os.path.join(self.save_path,
-                             f"surf{ip}_iter{tag}.vtk"), X, data)
+            if self.fmt == "vtu":
+                path = os.path.join(self.save_path,
+                                    f"surf{ip}_iter{tag}.vtu")
+                write_vtu(path, X, data)
+                if ip not in self._pvd:
+                    self._pvd[ip] = PVDSeries(os.path.join(
+                        self.save_path, f"surf{ip}.pvd"))
+                self._pvd[ip].add(path, timestep=self.counter)
+            else:
+                write_structured_vtk(
+                    os.path.join(self.save_path,
+                                 f"surf{ip}_iter{tag}.vtk"), X, data)
         self.counter += 1

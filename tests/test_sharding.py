@@ -10,8 +10,10 @@ import pytest
 from goldfish_tpu.models import wing
 from goldfish_tpu.parallel.sharding import (
     make_mesh,
+    maybe_init_distributed,
     pad_state,
     pad_system,
+    padded_patch_count,
     shard_system,
     state_sharding,
 )
@@ -59,3 +61,50 @@ def test_sharded_solve_matches_unsharded(small_wing):
     err = np.abs(np.asarray(d8[:P]) - np.asarray(d_ref)).max()
     scale = np.abs(np.asarray(d_ref)).max()
     assert err < 1e-9 * max(scale, 1e-30), (err, scale)
+
+
+def test_padded_patch_count():
+    """Global load balance: padded count is the smallest multiple of
+    the (global) device count (the reference's MPI rank distribution,
+    opt_utils.py:28-54, done by phantom padding)."""
+    assert padded_patch_count(91, 8) == 96
+    assert padded_patch_count(91, 32) == 96     # 4 hosts x 8 chips
+    assert padded_patch_count(20, 8) == 24
+    assert padded_patch_count(8, 8) == 8
+    assert padded_patch_count(1, 8) == 8
+
+
+def test_maybe_init_distributed_guarded(monkeypatch):
+    """Multi-host entry point: no-op when unconfigured/single-process;
+    calls jax.distributed.initialize with the env-var cluster spec when
+    configured. Real multi-host cannot run in this environment — the
+    initialize call is mocked and only the guard/plumbing is pinned
+    (the mesh/padding logic it feeds is exercised on 8 virtual devices
+    by the other tests and by dryrun_multichip)."""
+    calls = []
+
+    def fake_init(coordinator_address, num_processes, process_id):
+        calls.append((coordinator_address, num_processes, process_id))
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+
+    # unconfigured -> False, no init
+    assert maybe_init_distributed(env={}) is False
+    # single process -> False even with a coordinator
+    assert maybe_init_distributed(
+        env={"GOLDFISH_COORDINATOR": "h0:1234",
+             "GOLDFISH_NUM_PROCESSES": "1"}) is False
+    assert calls == []
+    # a 4-process cluster spec from env vars -> initialize called
+    assert maybe_init_distributed(
+        env={"GOLDFISH_COORDINATOR": "h0:1234",
+             "GOLDFISH_NUM_PROCESSES": "4",
+             "GOLDFISH_PROCESS_ID": "2"}) is True
+    assert calls == [("h0:1234", 4, 2)]
+    # jax-standard env var spellings work too; explicit args win
+    assert maybe_init_distributed(
+        process_id=3,
+        env={"JAX_COORDINATOR_ADDRESS": "h1:99",
+             "JAX_NUM_PROCESSES": "8",
+             "JAX_PROCESS_ID": "0"}) is True
+    assert calls[-1] == ("h1:99", 8, 3)

@@ -66,6 +66,36 @@ def read_structured_vtk(path):
     return dims, pts, data
 
 
+def read_vtu(path):
+    """Reader for the XML UnstructuredGrid files vtk_io.write_vtu
+    emits (ParaView-pipeline format). Returns (None, points, data) —
+    same tuple shape as read_structured_vtk (vtu has no dims)."""
+    import xml.etree.ElementTree as ET
+
+    piece = ET.parse(path).getroot().find(".//Piece")
+    data = {}
+    pts = None
+    for da in piece.iter("DataArray"):
+        vals = np.asarray(da.text.split(), dtype=np.float64)
+        ncomp = int(da.get("NumberOfComponents", "1"))
+        arr = vals.reshape(-1, ncomp) if ncomp > 1 else vals
+        name = da.get("Name")
+        if name is None:  # the Points array
+            pts = arr
+        elif name not in ("connectivity", "offsets", "types"):
+            data[name] = arr
+    return None, pts, data
+
+
+def read_pvd(path):
+    """ParaView collection: [(timestep, absolute vtu path), ...]."""
+    import xml.etree.ElementTree as ET
+
+    base = os.path.dirname(os.path.abspath(path))
+    return [(float(ds.get("timestep")), os.path.join(base, ds.get("file")))
+            for ds in ET.parse(path).getroot().iter("DataSet")]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("results_dir")
@@ -73,7 +103,8 @@ def main():
                     help="prefix for matplotlib PNG output")
     args = ap.parse_args()
 
-    vtks = sorted(glob.glob(os.path.join(args.results_dir, "surf*.vtk")))
+    vtks = sorted(glob.glob(os.path.join(args.results_dir, "surf*.vtk"))
+                  + glob.glob(os.path.join(args.results_dir, "surf*.vtu")))
     ckpt = os.path.join(args.results_dir, "opt_state.npz")
 
     if os.path.exists(ckpt):
@@ -89,14 +120,18 @@ def main():
 
     groups = {}
     for p in vtks:
-        m = re.match(r".*surf(\d+)_iter(\w+)\.vtk", p)
+        m = re.match(r".*surf(\d+)_iter(\w+)\.(vtk|vtu)", p)
         if m:
             groups.setdefault(m.group(2), []).append((int(m.group(1)), p))
+
+    def read_any(p):
+        return read_vtu(p) if p.endswith(".vtu") \
+            else read_structured_vtk(p)
     for tag, items in sorted(groups.items()):
         print(f"snapshot '{tag}': {len(items)} patches")
         umax, hmin, hmax = 0.0, np.inf, -np.inf
         for (_, p) in items:
-            _, pts, data = read_structured_vtk(p)
+            _, pts, data = read_any(p)
             if "displacement" in data:
                 umax = max(umax,
                            np.linalg.norm(data["displacement"], axis=1).max())
@@ -116,7 +151,7 @@ def main():
             ax = fig.add_subplot(121, projection="3d")
             ax2 = fig.add_subplot(122)
             for (ip, p) in items:
-                _, pts, data = read_structured_vtk(p)
+                _, pts, data = read_any(p)
                 u = data.get("displacement", np.zeros_like(pts))
                 x = pts + u
                 c = np.linalg.norm(u, axis=1)

@@ -346,9 +346,10 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
                 drift, slope, rn_try, Pi_try = (
                     float(x) for x in jax.device_get(
                         (drift_, slope_, rn_try_, Pi_try_)))
-                if drift > device_fac.stale_tol:
-                    # speculation lost: refresh the factor at the
-                    # current state and redo direction + trial
+                if drift > 0.2:
+                    # GROSSLY stale (cold transient): refresh the
+                    # factor at the current state and redo
+                    # direction + trial
                     device_fac.ensure(cp, h, d, force=True, why="drift")
                     delta, slope_ = device_fac.direction_slope(r)
                     d_try, r_try, rn_try_, Pi_try_ = _jit_trial(
@@ -356,6 +357,27 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
                     slope, rn_try, Pi_try = (
                         float(x) for x in jax.device_get(
                             (slope_, rn_try_, Pi_try_)))
+                elif drift > device_fac.stale_tol:
+                    # moderately design-stale (an optimizer-sized
+                    # step): ride the CERTIFICATE instead of
+                    # refactoring — the fused jvp-IR direction is the
+                    # exact Newton direction against the incumbent
+                    # factor at ~1/3 the cost of an assemble+factor,
+                    # and stale factors refine fine (the MI-path
+                    # policy, scripts/stale_ir_wing.py). The round-3
+                    # eager refactor here was the dominant cost of the
+                    # pegasus SLSQP run: every line-search trial and
+                    # every accepted step paid a refactorization
+                    # (n_refactor=8 in 3 iterations,
+                    # scripts/diag_pegasus_slsqp.py).
+                    use_ir = True
+                    delta, slope = device_fac.newton_direction(
+                        cp, h, d, r, tol=1e-3)
+                    d_try, r_try, rn_try_, Pi_try_ = _jit_trial(
+                        data, cp, h, d, delta, 1.0)
+                    rn_try, Pi_try = (
+                        float(x) for x in jax.device_get(
+                            (rn_try_, Pi_try_)))
                 pre_trial = (d_try, r_try, rn_try_, rn_try, Pi_try)
         elif host_direct:
             blocks = _jit_blocks(data, cp, h, d)

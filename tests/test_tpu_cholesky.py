@@ -293,6 +293,95 @@ def test_rho_entry_refresh_unpins_mediocre_factor():
                for why, _ in fac.refactor_log[n_log:])
 
 
+def test_trial_mode_defers_rho_refresh():
+    """Optimizer line-search trials (devicechol.trial_evaluation, set
+    by OptProblem around forward-only evaluations) must not spend a
+    preemptive rho-refresh factorization at a throwaway trial state —
+    the refresh fires at the next NON-trial evaluation instead (the
+    accepted-iterate gradient). Certificate-failure refactors stay
+    active inside trials (correctness never rests on the flag)."""
+    from goldfish_tpu.solver.devicechol import (
+        PersistentDeviceFactor,
+        in_trial,
+        trial_evaluation,
+    )
+
+    sys = plate.build(num_el=3, p=2, num_patches=3)
+    d0 = sys.zero_displacement()
+    fac = PersistentDeviceFactor(sys.data, nb=128)
+    fac.ensure(sys.cp, sys.h_init, d0)
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.normal(size=np.asarray(d0).shape)) * sys.data.free
+
+    # mediocre estimate + drifted state, INSIDE a trial: no refresh
+    fac.rho_est = 0.6
+    h2 = sys.h_init * 1.02
+    n_fac = fac.n_factor
+    assert not in_trial()
+    with trial_evaluation():
+        assert in_trial()
+        x = fac.exact_solve(sys.cp, h2, d0, b)
+    assert not in_trial()
+    assert fac.n_factor == n_fac, fac.refactor_log
+    assert fac.last_ratio <= 1e-6  # the solve is still exact
+    assert np.isfinite(np.asarray(x)).all()
+
+    # the SAME state outside the trial: the deferred refresh fires
+    fac.rho_est = 0.6
+    fac.exact_solve(sys.cp, h2, d0, b)
+    assert fac.n_factor == n_fac + 1
+    assert fac.refactor_log[-1][0] == "rho-refresh"
+
+
+def test_newton_host_rides_ir_at_optimizer_step_drift():
+    """An optimizer-sized design step (drift between stale_tol and the
+    0.2 gross threshold) must NOT refactor the persistent factor: the
+    host Newton loop switches to certificate-validated jvp-IR
+    directions against the incumbent factor (the MI-path policy; the
+    round-3 eager drift-refactor made every pegasus SLSQP trial and
+    accepted step pay a factorization — n_refactor=8 in nit=3,
+    PEGASUS_TPU.json). Gross drift still refactors."""
+    from goldfish_tpu.solver.devicechol import PersistentDeviceFactor
+    from goldfish_tpu.solver.implicit import newton_solve_host
+
+    sys = plate.build(num_el=3, p=2, num_patches=3)
+    d0 = sys.zero_displacement()
+    fac = PersistentDeviceFactor(sys.data, nb=128)
+    d1, it1, rn1 = newton_solve_host(
+        sys.data, sys.cp, sys.h_init, d0, rtol=1e-9, max_it=20,
+        device_fac=fac)
+    assert rn1 < 1e-5
+
+    # moderate (optimizer-step) thickness change, warm-started: NO
+    # eager drift-refactor — any refactorization must come from the
+    # MEASURED-contraction policies (rho-refresh / dir-cert / a failed
+    # line search), which on this h^3-sensitive toy may legitimately
+    # fire when the d-response to the step makes the incumbent factor
+    # unable to precondition. (The round-3 code logged ('drift', ~1e-2)
+    # refactors at every such entry.)
+    h2 = sys.h_init * 1.02
+    n_log = len(fac.refactor_log)
+    d2, it2, rn2 = newton_solve_host(
+        sys.data, sys.cp, h2, d1, rtol=1e-9, max_it=20, device_fac=fac)
+    eager = [e for e in fac.refactor_log[n_log:]
+             if e[0] == "drift" and 0.0 < e[1] <= 0.2]
+    assert not eager, fac.refactor_log[n_log:]
+    # solution parity vs a fresh-factor solve of the same system
+    d_ref, _, _ = newton_solve_host(
+        sys.data, sys.cp, h2, d0, rtol=1e-9, max_it=20)
+    err = float(jnp.linalg.norm(d2 - d_ref)
+                / (jnp.linalg.norm(d_ref) + 1e-300))
+    assert err < 1e-6, err
+
+    # gross drift (cold-transient scale): the entry refactor fires
+    h3 = sys.h_init * 1.5
+    n_fac = fac.n_factor
+    d3, _, rn3 = newton_solve_host(
+        sys.data, sys.cp, h3, d2, rtol=1e-9, max_it=20, device_fac=fac)
+    assert fac.n_factor > n_fac
+    assert any(why == "drift" for why, _ in fac.refactor_log[1:])
+
+
 def test_newton_host_stops_at_residual_floor():
     """With rtol below the achievable residual floor, the host Newton
     loop must stop within a couple of iterations of the floor instead

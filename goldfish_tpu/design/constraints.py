@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["grid_dof", "align_operator", "pin_operator", "regu_operator"]
+__all__ = ["grid_dof", "align_operator", "align_expansion_operator",
+           "pin_operator", "regu_operator"]
 
 
 def grid_dof(i, j, k, nx, ny):
@@ -64,6 +65,42 @@ def align_operator(shape, axis) -> np.ndarray:
             r[other] = -1.0
             rows.append(r)
     return np.stack(rows) if rows else np.zeros((0, n))
+
+
+def align_expansion_operator(shape, axis):
+    """Design -> full EXPANSION form of the alignment constraint: one
+    design dof per aligned grid line/slab, broadcast to every member.
+
+    The reference's multi-FFD drivers implement alignment this way
+    (CPFFDesign2FullComp expanding the reduced design vector after
+    `set_shopt_align_CP_multiFFD`, reference: demos_om/shape_opt_mint/
+    tube/tube_shopt_mi_4patch_wffd.py:86-92 + nonmatching_opt_ffd.py
+    :184-428) rather than as the A @ x = 0 equality rows of
+    `align_operator` — the design space simply has fewer dofs. Returns
+    (A, reps): A is (n_full, n_design); `reps` are the representative
+    full-grid dofs (x-fastest order) whose initial values seed the
+    design vector (x_full0[reps] == design0)."""
+    nx, ny, nz = shape
+    axes = (axis,) if np.ndim(axis) == 0 else tuple(axis)
+    n = nx * ny * nz
+    groups = {}
+    order = []
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                key = tuple(c for a, c in enumerate((i, j, k))
+                            if a not in axes)
+                if key not in groups:
+                    groups[key] = []
+                    order.append(key)
+                groups[key].append(grid_dof(i, j, k, nx, ny))
+    A = np.zeros((n, len(order)))
+    reps = np.empty(len(order), dtype=int)
+    for col, key in enumerate(order):
+        dofs = groups[key]
+        A[dofs, col] = 1.0
+        reps[col] = dofs[0]
+    return A, reps
 
 
 def pin_operator(shape, pinned) -> np.ndarray:

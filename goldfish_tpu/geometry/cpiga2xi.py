@@ -491,3 +491,47 @@ def xi_edge_constraints(mi: MovingIntersections, tol: float = 1e-9):
                         dofs.append(((i * N + k) * 2 + side) * 2 + c)
                         vals.append(float(col[0]))
     return np.asarray(dofs, dtype=np.int64), np.asarray(vals)
+
+
+def xi_interior_dofs(mi: MovingIntersections, tol: float = 1e-9):
+    """Flat dofs of the xi vector that are FREE to move strictly inside
+    (0, 1) — the meaningful support of in-domain bound constraints
+    (the reference XiConsComp role, reference: demos_om/shape_opt_mint/
+    tube/custom_comps/xi_cons_comp.py:17-36 + tube_shopt_mi_4patch_wffd
+    .py:233-234 `lower=0., upper=1.`).
+
+    Excludes (a) padded points beyond each intersection's n_pts,
+    (b) edge-pinned coordinate columns (`xi_edge_constraints`), (c) the
+    end-pinned coordinates (end_dir at the first/last point), and
+    (d) endpoint coordinates whose initial value sits ON the 0/1
+    boundary (coincidence forces them there, e.g. a seam whose ends
+    terminate on the mating patch's edges) — a KS max/min aggregate
+    over the full vector would otherwise read 0/1 from pinned dofs and
+    make the bound constraint unsatisfiable by construction.
+    """
+    import numpy as np
+
+    xi0 = np.asarray(mi.xi0)
+    n_pts = np.asarray(mi.n_pts)
+    end_dir = np.asarray(mi.end_dir)
+    I, N = xi0.shape[0], xi0.shape[1]
+    edge_dofs = set(xi_edge_constraints(mi, tol=tol)[0].tolist())
+    out = []
+    for i in range(I):
+        n = int(n_pts[i])
+        for k in range(n):
+            for side in (0, 1):
+                for c in (0, 1):
+                    dof = ((i * N + k) * 2 + side) * 2 + c
+                    if dof in edge_dofs:
+                        continue
+                    if side == 0 and (
+                            (k == 0 and c == int(end_dir[i, 0]))
+                            or (k == n - 1 and c == int(end_dir[i, 1]))):
+                        continue
+                    v = float(xi0[i, k, side, c])
+                    if (k in (0, n - 1)) and (abs(v) < tol
+                                              or abs(v - 1.0) < tol):
+                        continue
+                    out.append(dof)
+    return np.asarray(out, dtype=np.int64)

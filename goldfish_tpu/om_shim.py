@@ -31,7 +31,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["IndepVarComp", "ExplicitComponent", "ImplicitComponent",
-           "Group", "Problem", "ScipyOptimizeDriver", "api"]
+           "Group", "Problem", "ScipyOptimizeDriver",
+           "pyOptSparseDriver", "api"]
 
 
 class OptionsDictionary(dict):
@@ -89,11 +90,30 @@ class _Component:
         arr = _init_val(shape, val)
         self._outputs[name] = arr
 
-    def declare_partials(self, of, wrt, val=None, **kw):
+    def declare_partials(self, of, wrt, val=None, rows=None, cols=None,
+                         **kw):
+        """OpenMDAO semantics incl. the COO-sparse form: with
+        `rows`/`cols` given, `val` is the flat nonzero-data vector (and
+        compute_partials may later assign just a new data vector of the
+        same length) — the pattern the reference's sparse comps use
+        (e.g. demos_om/shape_opt_mint/tube/custom_comps/xi_cons_comp.py
+        :27-36 declares val=coo.data, rows=coo.row, cols=coo.col)."""
         self._partials_decl[(of, wrt)] = val
-        if of != "*" and wrt != "*" and val is not None:
-            v = np.asarray(val, dtype=float)
-            self._partials[(of, wrt)] = v
+        if of == "*" or wrt == "*":
+            return
+        if rows is not None:
+            r = np.asarray(rows, dtype=int)
+            c = np.asarray(cols, dtype=int)
+            self._sparsity = getattr(self, "_sparsity", {})
+            self._sparsity[(of, wrt)] = (r, c)
+            if val is not None:
+                n_of = self._outputs[of].size
+                n_wrt = self._inputs[wrt].size
+                dense = np.zeros((n_of, n_wrt))
+                dense[r, c] = np.asarray(val, dtype=float).ravel()
+                self._partials[(of, wrt)] = dense
+        elif val is not None:
+            self._partials[(of, wrt)] = np.asarray(val, dtype=float)
 
     def _in_names(self):
         return list(self._inputs)
@@ -183,10 +203,20 @@ class _PartialsDict(dict):
 
     def as_dense(self, comp):
         out = dict(comp._partials)  # constant declared vals
+        sparsity = getattr(comp, "_sparsity", {})
         for (of, wrt), v in self.items():
             n_of = comp._outputs[of].size
             n_wrt = comp._inputs[wrt].size
-            out[(of, wrt)] = v.reshape(n_of, n_wrt)
+            pat = sparsity.get((of, wrt))
+            if pat is not None and v.size == pat[0].size \
+                    and v.size != n_of * n_wrt:
+                # COO-declared pattern: compute_partials assigned the
+                # flat nonzero-data vector (OpenMDAO sparse semantics)
+                dense = np.zeros((n_of, n_wrt))
+                dense[pat[0], pat[1]] = v.ravel()
+                out[(of, wrt)] = dense
+            else:
+                out[(of, wrt)] = v.reshape(n_of, n_wrt)
         return out
 
 
@@ -240,7 +270,35 @@ class ScipyOptimizeDriver:
         self.options.declare("tol", default=1e-8)
         self.options.declare("disp", default=True)
         self.options.declare("maxiter", default=200)
+        self.options.declare("print_results", default=True)
         self.opt_settings = {}
+
+
+class pyOptSparseDriver(ScipyOptimizeDriver):
+    """Facade for the reference drivers' SNOPT/IPOPT route (reference:
+    demos_om/shape_opt_mint/tube/tube_shopt_mi_4patch_wffd.py:434-443
+    `om.pyOptSparseDriver` + `opt_settings['Major iterations limit']`
+    etc.). pyOptSparse is not installable here; the shim translates the
+    pyoptsparse option names onto its scipy-SLSQP totals engine (same
+    move as goldfish_tpu/pyoptsparse_shim.py) so those driver scripts
+    run unchanged. `run_driver` reads the translation in
+    `_driver_limits`."""
+
+    def __init__(self):
+        super().__init__()
+        self.options["optimizer"] = "SNOPT"
+        self.options["maxiter"] = 50000
+
+    def _driver_limits(self):
+        maxiter = int(self.options["maxiter"])
+        tol = float(self.options["tol"])
+        for key in ("Major iterations limit", "max_iter", "MAXIT", "MIT"):
+            if key in self.opt_settings:
+                maxiter = int(self.opt_settings[key])
+        for key in ("Major optimality tolerance", "tol", "ACC", "TOLG"):
+            if key in self.opt_settings:
+                tol = float(self.opt_settings[key])
+        return maxiter, tol
 
 
 class Problem:
@@ -530,11 +588,15 @@ class Problem:
                 bounds.extend(zip(lo_arr, up_arr))
 
         x0 = get_x()
+        if hasattr(self.driver, "_driver_limits"):
+            maxiter, tol = self.driver._driver_limits()
+        else:
+            maxiter = int(self.driver.options["maxiter"])
+            tol = float(self.driver.options["tol"])
         res = minimize(
             f, x0, jac=fgrad, method="SLSQP", bounds=bounds,
             constraints=constraints,
-            options={"maxiter": int(self.driver.options["maxiter"]),
-                     "ftol": float(self.driver.options["tol"]),
+            options={"maxiter": maxiter, "ftol": tol,
                      "disp": bool(self.driver.options["disp"])})
         set_x(res.x)
         self.run_model()
@@ -698,6 +760,7 @@ class _Api:
     Group = Group
     Problem = Problem
     ScipyOptimizeDriver = ScipyOptimizeDriver
+    pyOptSparseDriver = pyOptSparseDriver
 
 
 api = _Api()

@@ -282,3 +282,31 @@ def test_plate_hole_trimmed_demo():
                                       results="", verbose=False)
     assert res.fun < res.history[0]
     assert near > 1.05 * far
+
+
+@pytest.mark.slow
+def test_tube_shopt_mi_4patch_wffd_demo_reduced():
+    """The OM-graph port of the reference tube MI driver
+    (tube_shopt_mi_4patch_wffd.py): multi-block FFD with z-align
+    expansion, pin/regu linear constraints and the XiConsComp-role
+    bound on the free seam coordinates; objective decreases and every
+    free xi stays strictly inside (0, 1)."""
+    import numpy as np
+
+    from demos.tube_shopt_mi_4patch_wffd import main
+
+    prob = main(num_el=2, maxiter=3)
+    xi = np.asarray(prob["cpiga2xi_comp.int_para"]).ravel()
+    free = xi[prob.model.xi_free]
+    assert free.min() > 0.0 and free.max() < 1.0
+
+
+@pytest.mark.slow
+def test_plate_stress_constrained_thickness_demo():
+    """Stress-constrained sizing (MaxvMStressComp in the OM graph,
+    reference operation: GOLDFISH/operations/max_vmstress_exop.py
+    :167-273): volume decreases and the KS max-vM constraint is ACTIVE
+    at the optimum (it is what stops the thinning)."""
+    from demos.plate_var_th_opt_stress import main
+
+    main(num_el=3, maxiter=30)

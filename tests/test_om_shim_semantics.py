@@ -289,3 +289,161 @@ def test_check_partials_catches_wrong_partial():
     report = prob.check_partials(compact_print=False, step=1e-7)
     entry = report["bad"][("y", "x")]
     assert entry["rel error"] > 0.2, entry
+
+
+# ---------------------------------------------------------------------
+# round-4 tier: COO-sparse declare_partials + pyOptSparseDriver facade
+# (the reference's sparse custom comps and SNOPT driver blocks,
+# reference: demos_om/shape_opt_mint/tube/custom_comps/xi_cons_comp.py
+# :27-40 and tube_shopt_mi_4patch_wffd.py:434-443)
+# ---------------------------------------------------------------------
+class _CooConstComp(om.ExplicitComponent):
+    """XiConsComp pattern: constant partials declared as COO
+    (val=data, rows=..., cols=...)."""
+
+    def setup(self):
+        self.add_input("x", shape=6)
+        self.add_output("y", shape=2)
+        # y0 = 3*x[1], y1 = 5*x[4] - 2*x[0]
+        self.declare_partials("y", "x",
+                              val=np.array([3.0, 5.0, -2.0]),
+                              rows=np.array([0, 1, 1]),
+                              cols=np.array([1, 4, 0]))
+
+    def compute(self, inputs, outputs):
+        x = inputs["x"]
+        outputs["y"] = np.array([3 * x[1], 5 * x[4] - 2 * x[0]])
+
+
+class _CooDataComp(om.ExplicitComponent):
+    """State-dependent COO partials: compute_partials assigns ONLY the
+    flat nonzero-data vector against the declared pattern (OpenMDAO
+    sparse-partials semantics)."""
+
+    def setup(self):
+        self.add_input("x", shape=3)
+        self.add_output("y", shape=2)
+        # y0 = x0*x1, y1 = x2^2 ; pattern: (0,0),(0,1),(1,2)
+        self.declare_partials("y", "x", rows=np.array([0, 0, 1]),
+                              cols=np.array([0, 1, 2]))
+
+    def compute(self, inputs, outputs):
+        x = inputs["x"]
+        outputs["y"] = np.array([x[0] * x[1], x[2] ** 2])
+
+    def compute_partials(self, inputs, partials):
+        x = inputs["x"]
+        partials["y", "x"] = np.array([x[1], x[0], 2 * x[2]])
+
+
+def _single_comp_problem(comp, n_in, x0):
+    ivc = om.IndepVarComp()
+    ivc.add_output("x", shape=n_in, val=x0)
+    model = om.Group()
+    model.add_subsystem("ivc", ivc)
+    model.add_subsystem("c", comp)
+    model.connect("ivc.x", "c.x")
+    prob = om.Problem(model=model)
+    prob.setup()
+    prob.run_model()
+    return prob
+
+
+def test_coo_constant_partials_totals():
+    x0 = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    prob = _single_comp_problem(_CooConstComp(), 6, x0)
+    np.testing.assert_allclose(np.asarray(prob["c.y"]), [6.0, 23.0])
+    T = prob.compute_totals(["c.y"], ["ivc.x"])[("c.y", "ivc.x")]
+    expect = np.zeros((2, 6))
+    expect[0, 1] = 3.0
+    expect[1, 4] = 5.0
+    expect[1, 0] = -2.0
+    np.testing.assert_allclose(np.asarray(T), expect)
+
+
+def test_coo_data_vector_partials():
+    x0 = np.array([2.0, 3.0, 4.0])
+    prob = _single_comp_problem(_CooDataComp(), 3, x0)
+    T = prob.compute_totals(["c.y"], ["ivc.x"])[("c.y", "ivc.x")]
+    expect = np.array([[3.0, 2.0, 0.0], [0.0, 0.0, 8.0]])
+    np.testing.assert_allclose(np.asarray(T), expect)
+    # and check_totals agrees with FD
+    rep = prob.check_totals(of=["c.y"], wrt=["ivc.x"])
+    err = rep[("c.y", "ivc.x")]["rel error"]
+    err = err if np.isscalar(err) else getattr(err, "forward", err)
+    assert float(err) < 1e-6
+
+
+class _QpGroup(om.Group):
+    """min (x0-1)^2 + (x1-2)^2  s.t. x0+x1 <= 2  -> x* = (0.5, 1.5)."""
+
+    def setup(self):
+        ivc = om.IndepVarComp()
+        ivc.add_output("x", shape=2, val=np.zeros(2))
+        self.add_subsystem("ivc", ivc)
+
+        class Obj(om.ExplicitComponent):
+            def setup(self):
+                self.add_input("x", shape=2)
+                self.add_output("f")
+                self.add_output("g")
+                self.declare_partials("f", "x")
+                self.declare_partials("g", "x",
+                                      val=np.ones((1, 2)))
+
+            def compute(self, inputs, outputs):
+                x = inputs["x"]
+                outputs["f"] = (x[0] - 1) ** 2 + (x[1] - 2) ** 2
+                outputs["g"] = x.sum()
+
+            def compute_partials(self, inputs, partials):
+                x = inputs["x"]
+                partials["f", "x"] = np.array(
+                    [[2 * (x[0] - 1), 2 * (x[1] - 2)]])
+
+        self.add_subsystem("obj", Obj())
+        self.connect("ivc.x", "obj.x")
+        self.add_design_var("ivc.x", lower=-3.0, upper=3.0)
+        self.add_constraint("obj.g", upper=2.0)
+        self.add_objective("obj.f")
+
+
+def test_pyoptsparse_driver_facade_reference_block():
+    """The reference's SNOPT driver block (tube_shopt_mi_4patch_wffd
+    .py:434-443) runs unchanged on the shim: om.pyOptSparseDriver with
+    pyoptsparse-style opt_settings converges the QP."""
+    prob = om.Problem(model=_QpGroup())
+    prob.driver = om.pyOptSparseDriver()
+    prob.driver.options["optimizer"] = "SNOPT"
+    prob.driver.opt_settings["Major feasibility tolerance"] = 1e-6
+    prob.driver.opt_settings["Major optimality tolerance"] = 1e-10
+    prob.driver.opt_settings["Major iterations limit"] = 500
+    prob.driver.options["print_results"] = False
+    prob.setup()
+    failed = prob.run_driver()
+    assert not failed
+    np.testing.assert_allclose(np.asarray(prob["ivc.x"]), [0.5, 1.5],
+                               atol=1e-6)
+
+
+def test_pyoptsparse_driver_iteration_limit_honored():
+    """'Major iterations limit' must actually cap the engine (the
+    option-name translation, not a decorative dict)."""
+    prob = om.Problem(model=_QpGroup())
+    prob.driver = om.pyOptSparseDriver()
+    prob.driver.opt_settings["Major iterations limit"] = 1
+    prob.setup()
+    failed = prob.run_driver()
+    assert failed  # 1 iteration cannot converge from (0, 0)
+
+
+def test_run_driver_returns_fail_flag():
+    """OpenMDAO convention: run_driver returns the FAILED flag (False
+    on success)."""
+    prob = om.Problem(model=_QpGroup())
+    prob.driver = om.ScipyOptimizeDriver()
+    prob.driver.options["maxiter"] = 500
+    prob.driver.options["tol"] = 1e-12
+    prob.driver.options["disp"] = False
+    prob.setup()
+    assert prob.run_driver() is False

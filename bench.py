@@ -77,25 +77,32 @@ class Watchdog:
     def __init__(self, budget_s):
         self.budget_s = float(budget_s)
         self.phase = "init"
-        self.best = None
+        self.best = None       # provisional (early-probe) measurement
+        self.final = None      # proper timed-loop measurement
         self.detail = {}
         self.emitted = False
 
     def remaining(self):
         return self.budget_s - elapsed()
 
-    def record(self, value, **detail):
+    def record(self, value, provisional=False, **detail):
         self.detail.update(detail)
-        if value is not None and (self.best is None or value < self.best):
-            self.best = value
+        if value is None:
+            return
+        if provisional:
+            if self.best is None or value < self.best:
+                self.best = value
+        elif self.final is None or value < self.final:
+            self.final = value
 
     def emit(self, partial):
         if self.emitted:
             return
         self.emitted = True
-        v = self.best
+        v = self.final if self.final is not None else self.best
         d = dict(self.detail)
         d["partial"] = bool(partial)
+        d["provisional_timing"] = self.final is None
         d["phase"] = self.phase
         d["elapsed_s"] = round(elapsed(), 1)
         d["cpu_baseline_s"] = CPU_BASELINE_S
@@ -219,6 +226,23 @@ def main():
     ws = SecantWarmStart()
     ws.update(h0, d)
 
+    # EARLY PROBES before the long preload: the preload's ~21 program
+    # loads took 20 min through a slow relay in one measured run — on
+    # a tight driver timeout the watchdog would have had NOTHING to
+    # report. Three quick warm iterations here put a real (slightly
+    # pessimistic, 'provisional') per-iteration number on record
+    # within minutes; the proper timed loop below overrides it.
+    wd.phase = "probe"
+    for k in range(3):
+        hp = h0 * (1.0 - 1e-4 * (k + 1))
+        t0 = time.perf_counter()
+        (Jp, d), gp = eval_once(hp, ws.predict(hp, d))
+        force(Jp, d, gp)
+        dt = time.perf_counter() - t0
+        ws.update(hp, d)
+        wd.record(dt, provisional=True)
+        progress(f"early probe {k + 1}/3: {dt:.3f}s")
+
     # deterministically LOAD every sweep-menu program variant before
     # timing: each distinct n_ir (x seeded/unseeded x dir) is a
     # separate XLA program whose one-time compile costs 1-5 min
@@ -289,6 +313,11 @@ def main():
     else:
         progress("budget: skipping refactor honesty iteration")
 
+    if fac is not None:
+        # outlier attribution: refactors and IR certificates tell a
+        # multi-second timed iteration apart from a program load
+        progress(f"refactor_log: {getattr(fac, 'refactor_log', [])}")
+        progress(f"cert_log tail: {getattr(fac, 'cert_log', [])[-16:]}")
     wd.phase = "done"
     wd.emit(partial=len(times) < 5)
     return 0

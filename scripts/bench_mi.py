@@ -91,6 +91,27 @@ def main():
         newton_solve_mi_host,
     )
 
+    # baseline provenance (round-3 verdict #8): the contended-baseline
+    # episode (a CPU baseline timed while another job held the single
+    # core read 60% slow) must be structurally impossible to repeat —
+    # record load at start and REFUSE to write a contended CPU baseline
+    import socket
+
+    try:
+        load0 = os.getloadavg()[0]
+    except OSError:
+        load0 = -1.0
+    contended = bool(load0 > 0.5)
+    provenance = {"host": socket.gethostname(),
+                  "date": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                  "load_at_start": round(load0, 2),
+                  "contended": contended}
+    if CPU_MODE and contended:
+        print(f"REFUSING to record a CPU baseline at load {load0:.2f} "
+              "on a 1-core host (check `ps`, rerun uncontended)",
+              flush=True)
+        return 1
+
     print("backend:", jax.default_backend(), flush=True)
     sys_ = build()
     n_dofs = sum(m.n_cp for m in sys_.metas) * 3
@@ -226,7 +247,9 @@ def main():
 
     if CPU_MODE:
         with open(REF, "w") as f:
-            json.dump({"warm_s": t, "J": float(J), "g": float(g)}, f)
+            json.dump({"warm_s": t, "J": float(J), "g": float(g),
+                       "provenance": provenance,
+                       "n_samples": len(times)}, f)
         print("cpu baseline written:", REF, flush=True)
         return
 
@@ -239,6 +262,8 @@ def main():
         "backend": jax.default_backend(),
         "all_times": [round(x, 4) for x in times],
         "cold_s": round(t_cold, 2),
+        "provenance": provenance,
+        "n_samples": len(times),
     }
     if cpu:
         out["cpu_baseline_s"] = round(cpu["warm_s"], 4)

@@ -182,25 +182,20 @@ class OptProblem:
                                     for n in names])
 
         def objfun(xdict):
-            # forward-only evaluation = optimizer trial (see run_slsqp)
-            from goldfish_tpu.solver.devicechol import trial_evaluation
-
             dvs = self._unflatten(_flat(xdict))
-            with trial_evaluation():
-                if self._state0 is not None:
-                    J, new_state = self._obj(dvs, state_box[0])
-                    # commit the warm-start state only when finite — a
-                    # diverged trial must not poison later evaluations
-                    # (same guard as run_slsqp)
-                    if bool(jax.device_get(
-                            jnp.isfinite(new_state).all())):
-                        state_box[0] = new_state
-                else:
-                    J = self._obj(dvs)
-                funcs = {"obj": float(self._obj_scaler * J)}
-                for c in self._cons:
-                    funcs[c.name] = np.asarray(
-                        c.scaler * jnp.atleast_1d(c.fn(dvs)))
+            if self._state0 is not None:
+                J, new_state = self._obj(dvs, state_box[0])
+                # commit the warm-start state only when finite — a
+                # diverged trial must not poison later evaluations
+                # (same guard as run_slsqp)
+                if bool(jax.device_get(jnp.isfinite(new_state).all())):
+                    state_box[0] = new_state
+            else:
+                J = self._obj(dvs)
+            funcs = {"obj": float(self._obj_scaler * J)}
+            for c in self._cons:
+                funcs[c.name] = np.asarray(
+                    c.scaler * jnp.atleast_1d(c.fn(dvs)))
             return funcs, False
 
         objfun = retry_transient(objfun)
@@ -304,12 +299,6 @@ class OptProblem:
         assert self._obj is not None, "set_objective first"
         has_state = self._state0 is not None
         state_box = self.state_box
-        # forward-only evaluations are line-search TRIALS: the
-        # persistent device factors must not spend (or pin) a
-        # factorization at throwaway states — preemptive rho-refresh
-        # defers to the accepted-iterate gradient evaluation
-        # (solver/devicechol.trial_evaluation)
-        from goldfish_tpu.solver.devicechol import trial_evaluation
 
         # Outer jit only on CPU: on the axon TPU backend an outer jit
         # would capture the system arrays as f64 closure constants,
@@ -338,8 +327,7 @@ class OptProblem:
             vg = maybe_jit(jax.value_and_grad(raw, has_aux=True))
 
             def f_fun(x):
-                with trial_evaluation():
-                    J, new_state = f_fwd(jnp.asarray(x), state_box[0])
+                J, new_state = f_fwd(jnp.asarray(x), state_box[0])
                 # ONE batched readback (each separate float()/asarray
                 # pays its own ~30 ms axon tunnel roundtrip), and the
                 # warm-start state commits ONLY when finite: a diverged
@@ -366,9 +354,7 @@ class OptProblem:
             vg = maybe_jit(jax.value_and_grad(raw))
 
             def f_fun(x):
-                with trial_evaluation():
-                    out = f_fwd(jnp.asarray(x))
-                return float(jax.device_get(out))
+                return float(jax.device_get(f_fwd(jnp.asarray(x))))
 
             def f_jac(x):
                 J, g = vg(jnp.asarray(x))
@@ -415,12 +401,8 @@ class OptProblem:
             # the retry must wrap the device->HOST readback too: on
             # axon a worker restart surfaces at the blocking transfer
             # (np.asarray), not at the dispatch
-            def _cfn_trial(x, f=_cfn):
-                with trial_evaluation():  # called at line-search trials
-                    out = f(jnp.asarray(x))
-                return np.asarray(out)
-
-            cfn = retry_transient(_cfn_trial)
+            cfn = retry_transient(
+                lambda x, f=_cfn: np.asarray(f(jnp.asarray(x))))
             cjac = retry_transient(
                 lambda x, f=_cjac: np.asarray(f(jnp.asarray(x))))
             if c.equals is not None:

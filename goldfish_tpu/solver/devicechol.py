@@ -35,43 +35,11 @@ from goldfish_tpu.solver.tpu_cholesky import (
 )
 
 __all__ = ["enabled", "dense64_from_blocks", "DeviceDirectSolver",
-           "PersistentDeviceFactor", "trial_evaluation", "in_trial"]
+           "PersistentDeviceFactor"]
 
 
 def enabled() -> bool:
     return os.environ.get("GOLDFISH_TPU_DEVICE_CHOL", "1") != "0"
-
-
-# --- optimizer trial-evaluation context ---------------------------------
-# SLSQP/SNOPT line searches evaluate the objective at TRIAL points that
-# are usually abandoned; a refactorization there is (a) wasted — the
-# next accepted iterate is elsewhere — and (b) dangerous: a factor
-# pinned at a throwaway (possibly barely-converged) state passes every
-# certificate afterwards while every solve over-sweeps (the round-3
-# bad-state-pinned-factor trap). Optimizer drivers wrap forward-only
-# evaluations in `trial_evaluation()`; the persistent factors then
-# suppress the PREEMPTIVE rho-entry refresh (a steady-state
-# optimization) at trial states. Certificate-failure refactors (a
-# factor genuinely unable to precondition) remain active everywhere —
-# correctness never depends on this flag.
-_TRIAL = [False]
-
-
-class trial_evaluation:
-    """Context manager marking enclosed solves as optimizer trials."""
-
-    def __enter__(self):
-        self._prev = _TRIAL[0]
-        _TRIAL[0] = True
-        return self
-
-    def __exit__(self, *exc):
-        _TRIAL[0] = self._prev
-        return False
-
-
-def in_trial() -> bool:
-    return _TRIAL[0]
 
 
 @jax.jit
@@ -413,13 +381,17 @@ class PersistentDeviceFactor:
         cost when healthy — the drift/finiteness readbacks only happen
         once rho_est is already above rho_refresh. Never refactors at
         a non-finite state (that would poison the factor for the next
-        healthy evaluation — the SLSQP wild-trial lesson). Suppressed
-        inside optimizer trial evaluations (`trial_evaluation`): a
-        refresh at a throwaway line-search point wastes the
-        factorization AND risks pinning a bad state — it runs at the
-        next accepted-iterate (gradient) evaluation instead."""
-        if self._ref is None or self.rho_est <= self.rho_refresh \
-                or in_trial():
+        healthy evaluation — the SLSQP wild-trial lesson).
+
+        NOT suppressed inside optimizer trials (a round-4 experiment
+        measured on pegasus-91 hardware): a trial-entry state is
+        coherent — warm d from the previous accepted iterate + the
+        trial (cp, h) — so refreshing there is safe, and SUPPRESSING
+        the refresh re-created the bad-state-pinned-factor cost with
+        the opposite sign: a mediocre incumbent (rho ~0.6) rode
+        MAX_SWEEPS direction programs through every line-search trial
+        (SLSQP 137.5 s/it vs ~34 with the refresh active)."""
+        if self._ref is None or self.rho_est <= self.rho_refresh:
             return
         drift = float(self._drift(cp, h, d, *self._ref))
         if drift > self.stale_tol and self._inputs_finite(cp, h, d):

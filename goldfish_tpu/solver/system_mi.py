@@ -824,8 +824,6 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     (an extra full residual program per solve otherwise, while a
     per-iteration design step moves it ~0.1%; refreshed every 32
     solves so the drift cannot compound over a long optimization)."""
-    from goldfish_tpu.solver import devicechol
-
     if device_fac is None:
         device_fac = PersistentDeviceFactorMI(data, mi, co, ss, p, q)
 
@@ -892,16 +890,15 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
         device_fac.ensure(cp, h, xi, d, force=True, why="mi-entry")
         device_fac.prepare(cp, h, xi, d)
     elif (device_fac.rho_est > device_fac.rho_refresh
-          and drift > device_fac.stale_tol
-          and not devicechol.in_trial()):
+          and drift > device_fac.stale_tol):
         # the factor is persistently mediocre (measured contraction,
         # not a drift heuristic — see rho_refresh): refresh it HERE,
         # at a converged-warm iterate, rather than paying 3x the jvp
         # sweeps on every direction/adjoint of this and future solves.
-        # NOT at optimizer trial points (devicechol.trial_evaluation):
-        # refreshing at a throwaway line-search state wastes the
-        # factorization and risks the bad-state-pinned-factor trap —
-        # the refresh runs at the accepted-iterate evaluation instead
+        # Also fires at optimizer trial entries — suppressing it there
+        # made every trial direction pay MAX_SWEEPS programs
+        # (devicechol._rho_entry_refresh docstring, round-4 pegasus
+        # measurement)
         device_fac.ensure(cp, h, xi, d, force=True, why="mi-entry-rho")
         device_fac.prepare(cp, h, xi, d)
     elif pend is not None:

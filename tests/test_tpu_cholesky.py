@@ -293,46 +293,6 @@ def test_rho_entry_refresh_unpins_mediocre_factor():
                for why, _ in fac.refactor_log[n_log:])
 
 
-def test_trial_mode_defers_rho_refresh():
-    """Optimizer line-search trials (devicechol.trial_evaluation, set
-    by OptProblem around forward-only evaluations) must not spend a
-    preemptive rho-refresh factorization at a throwaway trial state —
-    the refresh fires at the next NON-trial evaluation instead (the
-    accepted-iterate gradient). Certificate-failure refactors stay
-    active inside trials (correctness never rests on the flag)."""
-    from goldfish_tpu.solver.devicechol import (
-        PersistentDeviceFactor,
-        in_trial,
-        trial_evaluation,
-    )
-
-    sys = plate.build(num_el=3, p=2, num_patches=3)
-    d0 = sys.zero_displacement()
-    fac = PersistentDeviceFactor(sys.data, nb=128)
-    fac.ensure(sys.cp, sys.h_init, d0)
-    rng = np.random.default_rng(7)
-    b = jnp.asarray(rng.normal(size=np.asarray(d0).shape)) * sys.data.free
-
-    # mediocre estimate + drifted state, INSIDE a trial: no refresh
-    fac.rho_est = 0.6
-    h2 = sys.h_init * 1.02
-    n_fac = fac.n_factor
-    assert not in_trial()
-    with trial_evaluation():
-        assert in_trial()
-        x = fac.exact_solve(sys.cp, h2, d0, b)
-    assert not in_trial()
-    assert fac.n_factor == n_fac, fac.refactor_log
-    assert fac.last_ratio <= 1e-6  # the solve is still exact
-    assert np.isfinite(np.asarray(x)).all()
-
-    # the SAME state outside the trial: the deferred refresh fires
-    fac.rho_est = 0.6
-    fac.exact_solve(sys.cp, h2, d0, b)
-    assert fac.n_factor == n_fac + 1
-    assert fac.refactor_log[-1][0] == "rho-refresh"
-
-
 def test_newton_host_rides_ir_at_optimizer_step_drift():
     """An optimizer-sized design step (drift between stale_tol and the
     0.2 gross threshold) must NOT refactor the persistent factor: the

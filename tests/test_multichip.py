@@ -5,6 +5,7 @@ import importlib.util
 import pathlib
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 
@@ -26,6 +27,7 @@ def test_entry_compiles():
     assert float(rn) > 0.0
 
 
+@pytest.mark.slow  # duplicates the driver-run MULTICHIP artifact (386 s)
 def test_dryrun_multichip_8():
     assert len(jax.devices()) >= 8
     mod = _load_graft()

@@ -47,6 +47,7 @@ def _rel(a, b):
     return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-300)
 
 
+@pytest.mark.slow  # large-scale fallback pin (80-175 s)
 def test_adjoint_pipeline_stale_factor_falls_back(mixed_mode):
     """adjoint_solve speculates the vjp against the pipelined IR
     solution; with a grossly stale factor the certificate must FAIL
@@ -150,6 +151,7 @@ def _mi_tbeam(num_el=4, p=3, n_pts=10):
     return sys
 
 
+@pytest.mark.slow  # large-scale fallback pin (80-175 s)
 def test_mi_adjoint_pipeline_stale_factor_falls_back(mixed_mode):
     """adjoint_solve_mi speculates the vjp against the pipelined IR
     solve (with a SPECULATED Woodbury seam correction); a grossly

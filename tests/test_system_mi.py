@@ -200,6 +200,7 @@ def test_edge_to_edge_intersections_tube():
                                                         float(fd))
 
 
+@pytest.mark.slow  # large-scale MI policy pin (150-220 s)
 def test_woodbury_seam_correction():
     """The xi-staleness killer (round-3 hardware finding): after one
     optimizer-sized design step the persistent factor's IR contraction
@@ -272,6 +273,7 @@ def test_woodbury_seam_correction():
     assert rel < 1e-8, rel
 
 
+@pytest.mark.slow  # large-scale MI policy pin (150-220 s)
 def test_mi_preload_no_policy_side_effects(mi_sys):
     """PersistentDeviceFactorMI.preload() force-loads the WB-IR
     sweep-menu program variants (axon: ~15-18 s first-in-process load

@@ -18,7 +18,9 @@ zero output — a timeout through the axon tunnel left a diagnostically
 empty artifact):
   - progress lines on stderr at every phase ('# bench ...' — never
     JSON-parseable, so the driver's tail parser ignores them);
-  - a wall-clock budget (GOLDFISH_BENCH_BUDGET_S, default 1500 s) with
+  - a wall-clock budget (GOLDFISH_BENCH_BUDGET_S, default 2400 s; the
+    SIGTERM handler is the real backstop against an earlier driver
+    kill) with
     per-phase fractions: warm-up/preload variants are SKIPPED once the
     budget fraction is spent, timed iterations stop early, and the
     refactor honesty iteration is dropped last;
@@ -161,7 +163,7 @@ def build_workload():
 
 
 def main():
-    wd = Watchdog(os.environ.get("GOLDFISH_BENCH_BUDGET_S", "1500"))
+    wd = Watchdog(os.environ.get("GOLDFISH_BENCH_BUDGET_S", "2400"))
     wd.arm()
     try:
         load0 = os.getloadavg()[0]

@@ -94,7 +94,11 @@ class Watchdog:
         if provisional:
             if self.best is None or value < self.best:
                 self.best = value
-        elif self.final is None or value < self.final:
+        else:
+            # Always take the LATEST timed-loop value: the loop records
+            # the median-so-far each iteration, so keeping a min here
+            # would report the single fastest early sample instead of
+            # the final median (advisor finding, round 4).
             self.final = value
 
     def emit(self, partial):

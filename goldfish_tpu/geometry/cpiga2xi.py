@@ -503,19 +503,43 @@ def xi_interior_dofs(mi: MovingIntersections, tol: float = 1e-9):
     Excludes (a) padded points beyond each intersection's n_pts,
     (b) edge-pinned coordinate columns (`xi_edge_constraints`), (c) the
     end-pinned coordinates (end_dir at the first/last point), and
-    (d) endpoint coordinates whose initial value sits ON the 0/1
-    boundary (coincidence forces them there, e.g. a seam whose ends
-    terminate on the mating patch's edges) — a KS max/min aggregate
-    over the full vector would otherwise read 0/1 from pinned dofs and
-    make the bound constraint unsatisfiable by construction.
+    (d) MATING-side (side B) endpoint coordinates sitting ON the 0/1
+    boundary at an end whose side-A pin is itself a DOMAIN-BOUNDARY
+    isoline (`end_val` at 0/1): there the seam terminates on patch A's
+    edge, the mating patch meets it along its own edge, and coincidence
+    forces the side-B coordinate to stay at 0/1 — a KS max/min
+    aggregate over the full vector would otherwise read 0/1 from these
+    pinned dofs and make the bound constraint unsatisfiable by
+    construction (e.g. the 4-patch tube's seam ends on the end
+    circles: side-B u is forced to the same end circle).
+
+    Exclusion (d) deliberately does NOT drop a coordinate that merely
+    STARTS at 0/1 without that structural force (advisor finding,
+    round 4): a side-A non-end_dir coordinate at a corner slides along
+    the pinned isoline and can move off the corner, and a side-B
+    boundary start at an INTERIOR end pin (`end_val` strictly inside)
+    is coincidental — both stay in the aggregate so the optimizer
+    cannot drag them outside [0, 1] unconstrained. Callers must
+    re-derive this set if a topology change re-pins seam ends.
     """
     import numpy as np
 
     xi0 = np.asarray(mi.xi0)
     n_pts = np.asarray(mi.n_pts)
     end_dir = np.asarray(mi.end_dir)
+    end_val = np.asarray(mi.end_val)
     I, N = xi0.shape[0], xi0.shape[1]
     edge_dofs = set(xi_edge_constraints(mi, tol=tol)[0].tolist())
+
+    def boundary_end(i, k, n):
+        # which end (0/1) this point is, or None if interior; the end
+        # counts only if its side-A pin value is on the domain boundary
+        end = 0 if k == 0 else (1 if k == n - 1 else None)
+        if end is None:
+            return None
+        ev = float(end_val[i, end])
+        return end if (abs(ev) < tol or abs(ev - 1.0) < tol) else None
+
     out = []
     for i in range(I):
         n = int(n_pts[i])
@@ -530,8 +554,9 @@ def xi_interior_dofs(mi: MovingIntersections, tol: float = 1e-9):
                             or (k == n - 1 and c == int(end_dir[i, 1]))):
                         continue
                     v = float(xi0[i, k, side, c])
-                    if (k in (0, n - 1)) and (abs(v) < tol
-                                              or abs(v - 1.0) < tol):
+                    if (side == 1
+                            and boundary_end(i, k, n) is not None
+                            and (abs(v) < tol or abs(v - 1.0) < tol)):
                         continue
                     out.append(dof)
     return np.asarray(out, dtype=np.int64)

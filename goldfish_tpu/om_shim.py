@@ -110,7 +110,10 @@ class _Component:
                 n_of = self._outputs[of].size
                 n_wrt = self._inputs[wrt].size
                 dense = np.zeros((n_of, n_wrt))
-                dense[r, c] = np.asarray(val, dtype=float).ravel()
+                # duplicate (row, col) entries ACCUMULATE in OpenMDAO's
+                # scipy-COO assembly — np.add.at, not fancy assignment
+                np.add.at(dense, (r, c),
+                          np.asarray(val, dtype=float).ravel())
                 self._partials[(of, wrt)] = dense
         elif val is not None:
             self._partials[(of, wrt)] = np.asarray(val, dtype=float)
@@ -208,12 +211,15 @@ class _PartialsDict(dict):
             n_of = comp._outputs[of].size
             n_wrt = comp._inputs[wrt].size
             pat = sparsity.get((of, wrt))
-            if pat is not None and v.size == pat[0].size \
-                    and v.size != n_of * n_wrt:
+            if pat is not None and v.size == pat[0].size:
                 # COO-declared pattern: compute_partials assigned the
-                # flat nonzero-data vector (OpenMDAO sparse semantics)
+                # flat nonzero-data vector (OpenMDAO sparse semantics).
+                # The declared pattern WINS even when nnz happens to
+                # equal n_of*n_wrt (a size heuristic here misread such
+                # patterns as dense C-order matrices — advisor, r4);
+                # duplicate coordinates accumulate as in scipy COO.
                 dense = np.zeros((n_of, n_wrt))
-                dense[pat[0], pat[1]] = v.ravel()
+                np.add.at(dense, (pat[0], pat[1]), v.ravel())
                 out[(of, wrt)] = dense
             else:
                 out[(of, wrt)] = v.reshape(n_of, n_wrt)

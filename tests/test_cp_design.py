@@ -105,13 +105,17 @@ def test_xi_interior_dofs_excludes_pinned_coordinates():
     edge_dofs, _ = xi_edge_constraints(mi)
     assert not set(free.tolist()) & set(edge_dofs.tolist())
     xi0 = np.asarray(mi.xi0).ravel()
-    assert xi0[free].min() > 0.0 and xi0[free].max() < 1.0
-    # excluded REAL dofs (not padding) are on a pinned/boundary value:
-    # either an edge column, an end-pinned coordinate, or an endpoint
-    # coordinate starting exactly at 0/1
+    # free dofs may START at 0/1 only if not structurally forced there
+    # (advisor r4: a coincidental boundary start must stay constrained)
+    assert xi0[free].min() >= 0.0 and xi0[free].max() <= 1.0
+    # excluded REAL dofs (not padding) are STRUCTURALLY pinned: an edge
+    # column, an end-pinned coordinate, or a mating-side endpoint
+    # coordinate forced to 0/1 by a boundary-terminating seam end
+    # (side-A end_val itself at 0/1)
     n_pts = np.asarray(mi.n_pts)
     N = np.asarray(mi.xi0).shape[1]
     end_dir = np.asarray(mi.end_dir)
+    end_val = np.asarray(mi.end_val)
     freeset = set(free.tolist())
     edgeset = set(edge_dofs.tolist())
     for i in range(np.asarray(mi.xi0).shape[0]):
@@ -126,7 +130,53 @@ def test_xi_interior_dofs_excludes_pinned_coordinates():
                         (k == 0 and c == int(end_dir[i, 0]))
                         or (k == int(n_pts[i]) - 1
                             and c == int(end_dir[i, 1])))
-                    pinned |= k in (0, int(n_pts[i]) - 1) and (
-                        abs(xi0[dof]) < 1e-9
-                        or abs(xi0[dof] - 1.0) < 1e-9)
+                    end = (0 if k == 0
+                           else (1 if k == int(n_pts[i]) - 1 else None))
+                    if end is not None and side == 1:
+                        ev = float(end_val[i, end])
+                        pinned |= (min(abs(ev), abs(ev - 1.0)) < 1e-9
+                                   and (abs(xi0[dof]) < 1e-9
+                                        or abs(xi0[dof] - 1.0) < 1e-9))
                     assert pinned, (i, k, side, c, xi0[dof])
+
+
+def test_xi_interior_dofs_keeps_unforced_boundary_starts():
+    """Exclusion (d) must NOT drop an endpoint coordinate that merely
+    starts at 0/1 without the structural force: a side-B boundary
+    start at an end whose side-A pin is INTERIOR (end_val strictly
+    inside (0,1)) stays in the KS aggregate (advisor finding, r4)."""
+    import numpy as np
+
+    from demos.draft_tube_shopt_mi_wffd import build_mi_tube
+    from goldfish_tpu.geometry.cpiga2xi import (
+        xi_edge_constraints,
+        xi_interior_dofs,
+    )
+
+    sys_ = build_mi_tube(num_el=2, p=2)
+    mi = sys_.mi
+    # side-B endpoint dofs at 0/1 under a boundary end pin (and not
+    # edge-pinned columns, which stay excluded regardless): excluded
+    free0 = set(xi_interior_dofs(mi).tolist())
+    edgeset = set(xi_edge_constraints(mi)[0].tolist())
+    xi0 = np.asarray(mi.xi0)
+    N = xi0.shape[1]
+    forced = []
+    for i in range(mi.n_int):
+        n = int(np.asarray(mi.n_pts)[i])
+        for k, end in ((0, 0), (n - 1, 1)):
+            ev = float(np.asarray(mi.end_val)[i, end])
+            if min(abs(ev), abs(ev - 1.0)) > 1e-9:
+                continue
+            for c in (0, 1):
+                dof = ((i * N + k) * 2 + 1) * 2 + c
+                v = float(xi0[i, k, 1, c])
+                if dof not in edgeset \
+                        and min(abs(v), abs(v - 1.0)) < 1e-9:
+                    forced.append(dof)
+    assert forced and not (set(forced) & free0)
+    # now re-pin the same ends to an INTERIOR isoline: the same
+    # boundary-valued side-B coordinates must become FREE
+    mi2 = mi._replace(end_val=np.full_like(np.asarray(mi.end_val), 0.3))
+    free2 = set(xi_interior_dofs(mi2).tolist())
+    assert set(forced) <= free2

@@ -374,6 +374,65 @@ def test_coo_data_vector_partials():
     assert float(err) < 1e-6
 
 
+class _CooDupComp(om.ExplicitComponent):
+    """Duplicate (row, col) coordinates in a COO pattern ACCUMULATE
+    (OpenMDAO assembles partials through scipy.sparse.coo_matrix,
+    which sums duplicates — advisor finding, round 4)."""
+
+    def setup(self):
+        self.add_input("x", shape=2)
+        self.add_output("y", shape=1)
+        # y = 3*x0 + 4*x0 + 2*x1 = 7*x0 + 2*x1, with (0,0) declared twice
+        self.declare_partials("y", "x",
+                              val=np.array([3.0, 4.0, 2.0]),
+                              rows=np.array([0, 0, 0]),
+                              cols=np.array([0, 0, 1]))
+
+    def compute(self, inputs, outputs):
+        x = inputs["x"]
+        outputs["y"] = np.array([7 * x[0] + 2 * x[1]])
+
+
+class _CooFullNnzComp(om.ExplicitComponent):
+    """A declared COO pattern whose nnz equals n_of*n_wrt must STILL be
+    scattered through rows/cols (the declared pattern wins over any
+    dense C-order reading of the data vector — advisor finding, r4).
+    Pattern deliberately permuted vs C order."""
+
+    def setup(self):
+        self.add_input("x", shape=2)
+        self.add_output("y", shape=2)
+        # J = [[dy0/dx0, dy0/dx1], [dy1/dx0, dy1/dx1]]
+        # y0 = x0*x1, y1 = x0 + x1^2; data listed in a NON-C order
+        self.declare_partials("y", "x",
+                              rows=np.array([1, 0, 1, 0]),
+                              cols=np.array([1, 0, 0, 1]))
+
+    def compute(self, inputs, outputs):
+        x = inputs["x"]
+        outputs["y"] = np.array([x[0] * x[1], x[0] + x[1] ** 2])
+
+    def compute_partials(self, inputs, partials):
+        x = inputs["x"]
+        # data in the declared (permuted) coordinate order
+        partials["y", "x"] = np.array([2 * x[1], x[1], 1.0, x[0]])
+
+
+def test_coo_duplicate_coordinates_accumulate():
+    x0 = np.array([1.0, 1.0])
+    prob = _single_comp_problem(_CooDupComp(), 2, x0)
+    T = prob.compute_totals(["c.y"], ["ivc.x"])[("c.y", "ivc.x")]
+    np.testing.assert_allclose(np.asarray(T), [[7.0, 2.0]])
+
+
+def test_coo_full_nnz_pattern_wins_over_dense_heuristic():
+    x0 = np.array([2.0, 3.0])
+    prob = _single_comp_problem(_CooFullNnzComp(), 2, x0)
+    T = prob.compute_totals(["c.y"], ["ivc.x"])[("c.y", "ivc.x")]
+    np.testing.assert_allclose(np.asarray(T),
+                               [[3.0, 2.0], [1.0, 6.0]])
+
+
 class _QpGroup(om.Group):
     """min (x0-1)^2 + (x1-2)^2  s.t. x0+x1 <= 2  -> x* = (0.5, 1.5)."""
 

@@ -261,3 +261,34 @@ def test_retry_transient():
     with pytest.raises(ValueError):
         broken()
     assert boom["n"] == 1
+
+
+def test_bench_watchdog_reports_latest_timed_median(capsys):
+    """bench.Watchdog: the timed loop records the median-so-far each
+    iteration; the emitted value must be the LATEST such median, not
+    the minimum over running medians (advisor finding, round 4 —
+    min-keeping reported the single fastest early sample). Provisional
+    probes keep min semantics and never override a timed value."""
+    import json
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..",
+                                  "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    wd = bench.Watchdog(budget_s=1e9)
+    # provisional probes: min is kept (pessimistic early number is fine)
+    for v in (1.4, 1.2, 1.3):
+        wd.record(v, provisional=True)
+    assert wd.best == 1.2
+    # timed loop: medians-so-far of [0.90,0.96,0.97,0.98,1.00]
+    for med in (0.90, 0.96, 0.96, 0.965, 0.97):
+        wd.record(med)
+    assert wd.final == 0.97  # the LAST median, not min(0.90)
+    wd.emit(partial=False)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["value"] == 0.97
+    assert rec["detail"]["provisional_timing"] is False

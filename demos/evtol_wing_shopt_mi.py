@@ -156,7 +156,7 @@ def build_system(s_root=0.30, s_tip=0.30, y_rib_frac=0.45, num_el=4,
 
 
 VARIANTS = ("rspar_rrib", "rspar_srib", "sspar_srib", "qspar_rrib",
-            "rspar_rrib_outer")
+            "qspar_srib", "rspar_rrib_outer")
 
 
 def _spar_basis(mode, eta, zeta):

@@ -184,7 +184,8 @@ def test_evtol_mi_variant_design_maps():
     lay = CPLayout(sys_.metas, sys_.stack.max_cp)
     cp0 = np.array(lay.to_flat(sys_.cp)).ravel()
     n_dv_expect = {"rspar_rrib": 3, "rspar_srib": 4, "sspar_srib": 6,
-                   "qspar_rrib": 7, "rspar_rrib_outer": 5}
+                   "qspar_rrib": 7, "qspar_srib": 8,
+                   "rspar_rrib_outer": 5}
     for v in VARIANTS:
         A, offset, x0, lo, up = design_map(
             sys_, y_rib0=0.45 * HALF_SPAN, variant=v)
@@ -198,7 +199,7 @@ def test_evtol_mi_variant_design_maps():
     sys_b = build_system(s_root=0.45, s_tip=0.20, num_el=2, p=2)
     cp_b = np.array(CPLayout(sys_b.metas, sys_b.stack.max_cp)
                     .to_flat(sys_b.cp)).ravel()
-    for v in ("rspar_rrib", "sspar_srib", "qspar_rrib"):
+    for v in ("rspar_rrib", "sspar_srib", "qspar_rrib", "qspar_srib"):
         A, offset, x0, lo, up = design_map(
             sys_b, y_rib0=0.45 * HALF_SPAN, variant=v,
             s0=(0.45, 0.20))

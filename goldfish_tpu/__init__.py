@@ -29,7 +29,16 @@ Architecture (vs. the reference's FEniCS/PETSc/OCC/MPI stack):
 
 __version__ = "0.1.0"
 
-from goldfish_tpu import config  # noqa: F401
+# Distributed boot MUST precede every other goldfish import: submodules
+# build jnp tables at import time, which initializes the XLA backend,
+# after which jax.distributed.initialize is rejected. A configured
+# cluster process (GOLDFISH_COORDINATOR/... env vars) therefore joins
+# the global device world here; unconfigured processes no-op.
+from goldfish_tpu._boot import init_distributed_from_env as _boot_dist
+
+_boot_dist()
+
+from goldfish_tpu import config  # noqa: F401,E402
 from goldfish_tpu.geometry import cadkit  # noqa: F401
 from goldfish_tpu.geometry.nurbs import NURBS  # noqa: F401
 from goldfish_tpu.ops import bspline, quadrature, refine  # noqa: F401

@@ -59,28 +59,19 @@ def maybe_init_distributed(coordinator=None, num_processes=None,
       coordinator: GOLDFISH_COORDINATOR, JAX_COORDINATOR_ADDRESS
       num_processes: GOLDFISH_NUM_PROCESSES, JAX_NUM_PROCESSES
       process_id: GOLDFISH_PROCESS_ID, JAX_PROCESS_ID
+
+    Delegates to `goldfish_tpu._boot.init_distributed_from_env`, which
+    the package root already ran BEFORE any submodule import (the XLA
+    backend initializes during `import goldfish_tpu`, after which
+    jax.distributed.initialize is rejected — the real 2-process test
+    caught this ordering). Calling it again here is an idempotent
+    confirmation: True for a configured cluster process either way.
     """
-    env = os.environ if env is None else env
+    from goldfish_tpu._boot import init_distributed_from_env
 
-    def pick(explicit, *keys):
-        if explicit is not None:
-            return explicit
-        for k in keys:
-            v = env.get(k)
-            if v not in (None, ""):
-                return v
-        return None
-
-    coord = pick(coordinator, "GOLDFISH_COORDINATOR",
-                 "JAX_COORDINATOR_ADDRESS")
-    n = pick(num_processes, "GOLDFISH_NUM_PROCESSES", "JAX_NUM_PROCESSES")
-    pid = pick(process_id, "GOLDFISH_PROCESS_ID", "JAX_PROCESS_ID")
-    if coord is None or n is None or int(n) <= 1:
-        return False
-    jax.distributed.initialize(coordinator_address=str(coord),
-                               num_processes=int(n),
-                               process_id=int(pid or 0))
-    return True
+    return init_distributed_from_env(coordinator=coordinator,
+                                     num_processes=num_processes,
+                                     process_id=process_id, env=env)
 
 
 def make_mesh(devices=None, axis: str = "patch") -> Mesh:

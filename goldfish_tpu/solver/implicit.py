@@ -658,6 +658,51 @@ def build_solve_fn(data: SystemData, rtol=1e-10, atol=1e-14, max_it=30,
     return solve
 
 
+def build_solve_fn_dataarg(rtol=1e-10, atol=1e-14, max_it=30):
+    """Differentiable `solve(data, cp, h, d0) -> d` with the system
+    pytree as a jit ARGUMENT rather than a closure constant.
+
+    Required for REAL multi-process `jax.distributed` execution: a jit
+    closure may not capture arrays that span non-addressable devices
+    ("Closing over jax.Array that spans non-addressable devices is not
+    allowed"), and the patch-sharded SystemData leaves of a global mesh
+    are exactly such arrays — discovered by the 2-process test
+    (tests/test_multichip.py). `build_solve_fn` (closure form) remains
+    the single-process API; this form is also the axon-safe pattern
+    (f64 closure constants corrupt there, CLAUDE.md).
+
+    The adjoint is the same implicit-function adjoint as
+    `build_solve_fn` (symmetric tangent, reference role:
+    GOLDfish/om_comps/disp_states_comp.py:30-50); `data` receives zero
+    cotangents (non-differentiable by design — the design surface is
+    (cp, h))."""
+
+    @jax.custom_vjp
+    def solve(data, cp, h, d0):
+        d, _, _ = newton_solve(data, cp, h, d0, rtol=rtol, atol=atol,
+                               max_it=max_it)
+        return d
+
+    def fwd(data, cp, h, d0):
+        d = solve(data, cp, h, d0)
+        return d, (data, d, cp, h)
+
+    def bwd(res, g):
+        data, d, cp, h = res
+        K = assemble_K(data, d, cp, h)
+        lam = linear_solve(
+            K, (g * data.free).reshape(-1)).reshape(g.shape) * data.free
+        _, vjp = jax.vjp(lambda cp_, h_: residual(data, d, cp_, h_),
+                         cp, h)
+        dcp, dh = vjp(-lam)
+        zero_data = jax.tree_util.tree_map(
+            lambda x: None if x is None else jnp.zeros_like(x), data)
+        return zero_data, dcp, dh, jnp.zeros_like(d)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
 def build_field_solve_fn(data: SystemData, rtol=1e-9, atol=1e-14,
                          max_it=30):
     """Differentiable `solve(cp, h, f_field, d0) -> d` with the

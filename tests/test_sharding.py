@@ -81,12 +81,15 @@ def test_maybe_init_distributed_guarded(monkeypatch):
     initialize call is mocked and only the guard/plumbing is pinned
     (the mesh/padding logic it feeds is exercised on 8 virtual devices
     by the other tests and by dryrun_multichip)."""
+    from goldfish_tpu import _boot
+
     calls = []
 
     def fake_init(coordinator_address, num_processes, process_id):
         calls.append((coordinator_address, num_processes, process_id))
 
     monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setattr(_boot, "_initialized", False)
 
     # unconfigured -> False, no init
     assert maybe_init_distributed(env={}) is False
@@ -101,7 +104,15 @@ def test_maybe_init_distributed_guarded(monkeypatch):
              "GOLDFISH_NUM_PROCESSES": "4",
              "GOLDFISH_PROCESS_ID": "2"}) is True
     assert calls == [("h0:1234", 4, 2)]
+    # idempotent: a second configured call confirms without re-init
+    # (the package root already booted a real cluster process)
+    assert maybe_init_distributed(
+        env={"GOLDFISH_COORDINATOR": "h0:1234",
+             "GOLDFISH_NUM_PROCESSES": "4",
+             "GOLDFISH_PROCESS_ID": "2"}) is True
+    assert len(calls) == 1
     # jax-standard env var spellings work too; explicit args win
+    monkeypatch.setattr(_boot, "_initialized", False)
     assert maybe_init_distributed(
         process_id=3,
         env={"JAX_COORDINATOR_ADDRESS": "h1:99",

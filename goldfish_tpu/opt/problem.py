@@ -367,6 +367,21 @@ class OptProblem:
         f_fun = retry_transient(f_fun)
         f_jac = retry_transient(f_jac)
 
+        # per-eval stage attribution (GOLDFISH_TRACE_EVAL=1, round-5
+        # verdict item 1: the pegasus per-evaluation gaps)
+        from goldfish_tpu.utils import evtrace
+
+        if evtrace.enabled:
+            _f_fun, _f_jac = f_fun, f_jac
+
+            def f_fun(x):
+                with evtrace.span("opt.fun"):
+                    return _f_fun(x)
+
+            def f_jac(x):
+                with evtrace.span("opt.jac"):
+                    return _f_jac(x)
+
         # single-entry memos: scipy's ScalarFunction caches the last x
         # on ITS side, but the per-iteration callback below calls the
         # objective directly — without this memo every SLSQP iteration
@@ -401,10 +416,23 @@ class OptProblem:
             # the retry must wrap the device->HOST readback too: on
             # axon a worker restart surfaces at the blocking transfer
             # (np.asarray), not at the dispatch
-            cfn = retry_transient(
-                lambda x, f=_cfn: np.asarray(f(jnp.asarray(x))))
-            cjac = retry_transient(
-                lambda x, f=_cjac: np.asarray(f(jnp.asarray(x))))
+            from goldfish_tpu.utils import evtrace as _ev
+
+            def _traced(f, tag, name=c.name):
+                if not _ev.enabled:
+                    return f
+
+                def g(x):
+                    with _ev.span(tag, con=name):
+                        return f(x)
+                return g
+
+            cfn = retry_transient(_traced(
+                lambda x, f=_cfn: np.asarray(f(jnp.asarray(x))),
+                "opt.con"))
+            cjac = retry_transient(_traced(
+                lambda x, f=_cjac: np.asarray(f(jnp.asarray(x))),
+                "opt.conjac"))
             if c.equals is not None:
                 t = c.scaler * c.equals
                 cons.append(dict(

@@ -272,9 +272,17 @@ class PersistentDeviceFactor:
             if drift <= tol:
                 return False
         from goldfish_tpu.solver.implicit import _jit_assemble_K
+        from goldfish_tpu.utils.evtrace import enabled as _tr, trace
 
+        import time as _time
+        t0 = _time.perf_counter()
         K = _jit_assemble_K(self.data, cp, h, d)
         self.dc.factor(K)
+        if _tr:
+            # force completion so the traced dt is the real wall
+            jax.device_get(self.dc._L[0, 0])
+            trace("factor", why=why or "drift", drift=drift,
+                  dt=_time.perf_counter() - t0)
         self._ref = (cp, h, d)
         self.n_factor += 1
         self.rho_est = self._RHO0
@@ -322,9 +330,13 @@ class PersistentDeviceFactor:
     rho_refresh = 0.1
     # every distinct n_ir is a SEPARATE XLA program (one-time 1-5 min
     # compiles through the axon tunnel, CLAUDE.md): quantize the sweep
-    # count to a small menu so the policy can ever request at most 7
-    # programs per kernel instead of any of 1..16
-    _N_MENU = (1, 2, 3, 4, 6, 8, 16)
+    # count to a small menu so the policy can ever request at most 8
+    # programs per kernel instead of any of 1..16. The 12 entry is the
+    # round-5 fix for the round-4 verdict's 8->16 jump: every n_for in
+    # 9..15 used to round up to the 16-sweep program, which dominated
+    # the refactor-recovery iteration (evtrace attribution) — 9..12
+    # now map to 12 (-25% sweeps on the recovery path).
+    _N_MENU = (1, 2, 3, 4, 6, 8, 12, 16)
 
     def _n_for(self, tol, rho, seeded=False):
         import math
@@ -415,6 +427,9 @@ class PersistentDeviceFactor:
                 cp, h, d, r, nb=self.dc.nb, n_ir=n_ir)
             self.last_ratio = float(ratio)
             self.cert_log.append(("dir", n_ir, self.last_ratio))
+            from goldfish_tpu.utils.evtrace import trace
+            trace("dir_cert", attempt=attempt, n_ir=n_ir,
+                  ratio=self.last_ratio)
             if not math.isfinite(self.last_ratio):
                 if not self._inputs_finite(r, d):
                     # garbage in: return the (non-finite) direction —
@@ -561,6 +576,9 @@ class PersistentDeviceFactor:
                                      n_ir=n)
             self.last_ratio = float(ratio)
             self.cert_log.append(("exact", n, self.last_ratio))
+            from goldfish_tpu.utils.evtrace import trace
+            trace("exact_cert", attempt=attempt, n_ir=n,
+                  ratio=self.last_ratio)
             if not math.isfinite(self.last_ratio):
                 if not self._inputs_finite(b, d):
                     # garbage in (diverged trial point): return the

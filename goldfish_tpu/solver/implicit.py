@@ -285,6 +285,9 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
     # per-iteration design step moves it ~0.1%). Refresh every 32
     # solves: the per-step drift is small but compounds over a long
     # optimization (pressure/areal loads scale with surface area)
+    from goldfish_tpu.utils.evtrace import trace
+
+    trace("newton.enter")
     if (shared is not None and "r_ref" in shared
             and shared.get("r_ref_age", 0) < 32):
         r_ref = shared["r_ref"]
@@ -298,6 +301,7 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
         if shared is not None:
             shared["r_ref"] = r_ref
             shared["r_ref_age"] = 0
+    trace("newton.entry_readback", rn=rn)
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
     eps = float(jnp.finfo(d0.dtype).eps)
 
@@ -346,6 +350,8 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
                 drift, slope, rn_try, Pi_try = (
                     float(x) for x in jax.device_get(
                         (drift_, slope_, rn_try_, Pi_try_)))
+                trace("newton.spec_readback", it=it, drift=drift,
+                      rn_try=rn_try)
                 if drift > 0.2:
                     # GROSSLY stale (cold transient): refresh the
                     # factor at the current state and redo
@@ -449,6 +455,8 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
         it += 1
         if verbose:
             print(f"  newton(host) it {it}: |r|={rn:.3e} alpha={alpha:g}")
+        trace("newton.iter_accept", it=it, rn=rn, alpha=alpha,
+              use_ir=int(use_ir))
         res_stalled = rn > 0.5 * rn_prev
         # residual PINNED at its achievable floor above rtol*r_ref:
         # certificate-validated Newton either contracts |r|
@@ -484,6 +492,7 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
         else:
             stall = 0
         Pi0 = Pi_new
+    trace("newton.exit", its=it, rn=rn)
     return d, it, rn
 
 
@@ -513,6 +522,9 @@ def _pipelined_device_adjoint(data: SystemData, fac, cp, h, d, g,
     in-program certificate: a failed certificate discards the
     speculated vjp and falls back to the self-validating exact_solve
     (which refactors / re-sizes sweeps as needed)."""
+    from goldfish_tpu.utils.evtrace import trace
+
+    trace("adjoint.enter")
     b = g * data.free
     x0 = None
     if lam_ws is not None and key is not None:
@@ -524,21 +536,39 @@ def _pipelined_device_adjoint(data: SystemData, fac, cp, h, d, g,
         out = vjp_fn(lam)  # speculative: wasted only on cert failure
         drift, ratio = (float(v) for v in
                         jax.device_get((drift_, ratio_)))
+        trace("adjoint.pipe_readback", n_ir=n, ratio=ratio, drift=drift)
         if fac.finish_ir(n, ratio,
                          tag="exact-x0-pipe" if x0 is not None
                          else "exact-pipe"):
             if lam_ws is not None:
                 lam_ws.update(key, lam)
+            trace("adjoint.exit", path="pipe")
             return out
         # certificate failed (stale factor or bad seed): preemptively
         # refactor when grossly stale, then the slow path revalidates
         if drift > 0.2:
             fac.ensure(cp, h, d, force=True, why="adjoint-drift")
+        import math as _math
+        if _math.isfinite(ratio):
+            # MARGINAL miss (finite certificate, e.g. 1.3e-6 vs 1e-6):
+            # the speculated solve is a near-answer — seed the
+            # revalidating solve with it so the fallback is a 1-2-sweep
+            # top-up instead of a full unseeded redo (evtrace round-5
+            # attribution: the unseeded fallback cost a whole extra IR
+            # program per marginal miss). A bad seed only fails the
+            # seeded certificate and exact_solve re-runs unseeded —
+            # exactness never depends on the seed.
+            lam = fac.exact_solve(cp, h, d, b, x0=x) * data.free
+            if lam_ws is not None:
+                lam_ws.update(key, lam)
+            trace("adjoint.exit", path="topup")
+            return vjp_fn(lam)
     else:
         fac.ensure(cp, h, d, why="adjoint")
     lam = fac.exact_solve(cp, h, d, b) * data.free
     if lam_ws is not None:
         lam_ws.update(key, lam)
+    trace("adjoint.exit", path="slow")
     return vjp_fn(lam)
 
 

@@ -91,13 +91,25 @@ class _Component:
         self._outputs[name] = arr
 
     def declare_partials(self, of, wrt, val=None, rows=None, cols=None,
+                         method="exact", step=1e-6, form="forward",
                          **kw):
         """OpenMDAO semantics incl. the COO-sparse form: with
         `rows`/`cols` given, `val` is the flat nonzero-data vector (and
         compute_partials may later assign just a new data vector of the
         same length) — the pattern the reference's sparse comps use
         (e.g. demos_om/shape_opt_mint/tube/custom_comps/xi_cons_comp.py
-        :27-36 declares val=coo.data, rows=coo.row, cols=coo.col)."""
+        :27-36 declares val=coo.data, rows=coo.row, cols=coo.col).
+
+        `method='fd'`: the framework approximates this partial by
+        finite-differencing `compute` (OpenMDAO's FD-partials fallback;
+        openmdao.core.explicitcomponent `declare_partials(method='fd',
+        step=..., form='forward'|'central'|'backward')`) —
+        compute_partials is not called for these keys."""
+        if method == "fd":
+            self._fd_partials = getattr(self, "_fd_partials", {})
+            self._fd_partials[(of, wrt)] = dict(step=float(step),
+                                                form=form)
+            return
         self._partials_decl[(of, wrt)] = val
         if of == "*" or wrt == "*":
             return
@@ -163,10 +175,87 @@ class ExplicitComponent(_Component):
         """Dense sub-Jacobians {(of, wrt): (n_of, n_wrt)}."""
         pd = _PartialsDict(self)
         self.compute_partials(_VarDict(self._inputs, self._inputs), pd)
-        return pd.as_dense(self)
+        out = pd.as_dense(self)
+        for (of, wrt), fd in getattr(self, "_fd_partials", {}).items():
+            out[(of, wrt)] = self._fd_jacobian(of, wrt, **fd)
+        return out
+
+    def _fd_jacobian(self, of, wrt, step, form):
+        """FD of `compute` for one (of, wrt) pair — the framework-side
+        approximation behind declare_partials(method='fd'). Forms match
+        OpenMDAO's ApproximationScheme: forward (default), backward,
+        central."""
+        x0 = self._inputs[wrt].copy()
+        n_of = self._outputs[of].size
+        n_wrt = x0.size
+        J = np.zeros((n_of, n_wrt))
+
+        def run_at(x):
+            self._inputs[wrt] = x
+            ins = _VarDict(self._inputs, self._inputs)
+            outs = _VarDict(dict(self._outputs),
+                            {k: v.copy() for k, v in
+                             self._outputs.items()})
+            self.compute(ins, outs)
+            return np.asarray(outs.get(of)).ravel().copy()
+
+        f0 = run_at(x0) if form in ("forward", "backward") else None
+        for j in range(n_wrt):
+            e = np.zeros(n_wrt)
+            e[j] = step
+            if form == "central":
+                J[:, j] = (run_at(x0 + e) - run_at(x0 - e)) / (2 * step)
+            elif form == "backward":
+                J[:, j] = (f0 - run_at(x0 - e)) / step
+            else:
+                J[:, j] = (run_at(x0 + e) - f0) / step
+        self._inputs[wrt] = x0
+        return J
+
+
+class _Solver:
+    """Option container matching the OpenMDAO solver-options surface
+    (openmdao.solvers.solver.Solver: maxiter/atol/rtol/iprint, Newton's
+    solve_subsystems). The shim's ImplicitComponent honors an attached
+    NewtonSolver in `_run` — the reference implicit comps set
+    `nonlinear_solver_rtol`/`_max_it` through init_parameters
+    (GOLDFISH/om_comps/disp_states_mi_comp.py:14-21), which real
+    OpenMDAO plumbs into exactly these options."""
+
+    def __init__(self, **kwargs):
+        self.options = OptionsDictionary()
+        self.options.declare("maxiter", default=10)
+        self.options.declare("atol", default=1e-10)
+        self.options.declare("rtol", default=1e-10)
+        self.options.declare("iprint", default=1)
+        self.options.declare("solve_subsystems", default=False)
+        self.options.declare("err_on_non_converge", default=False)
+        for k, v in kwargs.items():
+            self.options[k] = v
+
+
+class NewtonSolver(_Solver):
+    pass
+
+
+class NonlinearBlockGS(_Solver):
+    pass
+
+
+class DirectSolver(_Solver):
+    pass
+
+
+class ScipyKrylov(_Solver):
+    pass
 
 
 class ImplicitComponent(_Component):
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.nonlinear_solver = None
+        self.linear_solver = None
+
     def apply_nonlinear(self, inputs, outputs, residuals):
         raise NotImplementedError
 
@@ -184,10 +273,50 @@ class ImplicitComponent(_Component):
         raise NotImplementedError
 
     def _run(self):
+        if isinstance(self.nonlinear_solver, NewtonSolver):
+            return self._newton_run()
         ins = _VarDict(self._inputs, self._inputs)
         outs = _VarDict(self._outputs, self._outputs)
         self.solve_nonlinear(ins, outs)
         outs.flush()
+
+    def _newton_run(self):
+        """Framework-driven Newton when a NewtonSolver is attached
+        (OpenMDAO semantics: the solver drives apply_nonlinear to zero
+        with linearize + solve_linear(fwd) updates; convergence when
+        |R| <= atol or |R| <= rtol*|R0|; maxiter caps iterations;
+        err_on_non_converge raises om.AnalysisError analogously)."""
+        opts = self.nonlinear_solver.options
+        ins = _VarDict(self._inputs, self._inputs)
+
+        def resid():
+            res = _Bag({v: np.zeros_like(self._outputs[v])
+                        for v in self._outputs})
+            self.apply_nonlinear(ins, _Bag(dict(self._outputs)), res)
+            return res
+
+        r = resid()
+        rn0 = max(np.sqrt(sum(float(np.sum(np.square(v)))
+                              for v in r.values())), 1e-300)
+        rn = rn0
+        for it in range(int(opts["maxiter"])):
+            if rn <= opts["atol"] or rn <= opts["rtol"] * rn0:
+                break
+            self.linearize(ins, _Bag(dict(self._outputs)), {})
+            d_residuals = _Bag({v: -np.asarray(r[v]) for v in r})
+            d_outputs = _Bag({v: np.zeros_like(self._outputs[v])
+                              for v in self._outputs})
+            self.solve_linear(d_outputs, d_residuals, "fwd")
+            for v in self._outputs:
+                self._outputs[v] = self._outputs[v] + np.asarray(
+                    d_outputs[v]).reshape(self._outputs[v].shape)
+            r = resid()
+            rn = np.sqrt(sum(float(np.sum(np.square(v)))
+                             for v in r.values()))
+        if (rn > opts["atol"] and rn > opts["rtol"] * rn0
+                and opts["err_on_non_converge"]):
+            raise RuntimeError(
+                f"NewtonSolver did not converge: |R|={rn:.3e}")
 
     def _linearize(self):
         self.linearize(_VarDict(self._inputs, self._inputs),
@@ -252,21 +381,40 @@ class Group:
         self._subs[name] = comp
         return comp
 
-    def connect(self, src, tgt):
-        self._conn[tgt] = src
+    def connect(self, src, tgt, src_indices=None):
+        """`src_indices`: indices into the FLATTENED source array that
+        feed the (smaller) target input — OpenMDAO's connection slicing
+        (openmdao.core.group.Group.connect(src_indices=...),
+        flat-source semantics)."""
+        self._conn[tgt] = src if src_indices is None else (
+            src, np.asarray(src_indices, dtype=int).ravel())
+
+    def approx_totals(self, method="fd", step=1e-6, form="forward",
+                      **kw):
+        """Approximate SEMI-total derivatives across this group by one
+        FD sweep over the group's run instead of chaining component
+        partials (OpenMDAO Group.approx_totals). compute_totals then
+        finite-differences run_model."""
+        assert method == "fd", method
+        self._approx_totals = dict(step=float(step), form=form)
 
     def add_design_var(self, name, lower=None, upper=None, scaler=None,
-                       **kw):
+                       adder=None, ref=None, ref0=None, **kw):
         self._design_vars[name] = dict(lower=lower, upper=upper,
-                                       scaler=scaler)
+                                       scaler=scaler, adder=adder,
+                                       ref=ref, ref0=ref0)
 
     def add_constraint(self, name, equals=None, lower=None, upper=None,
-                       scaler=None, **kw):
+                       scaler=None, adder=None, ref=None, ref0=None,
+                       **kw):
         self._constraints[name] = dict(equals=equals, lower=lower,
-                                       upper=upper, scaler=scaler)
+                                       upper=upper, scaler=scaler,
+                                       adder=adder, ref=ref, ref0=ref0)
 
-    def add_objective(self, name, scaler=None, **kw):
-        self._objective = (name, dict(scaler=scaler))
+    def add_objective(self, name, scaler=None, adder=None, ref=None,
+                      ref0=None, **kw):
+        self._objective = (name, dict(scaler=scaler, adder=adder,
+                                      ref=ref, ref0=ref0))
 
 
 class ScipyOptimizeDriver:
@@ -307,6 +455,28 @@ class pyOptSparseDriver(ScipyOptimizeDriver):
         return maxiter, tol
 
 
+def _adder_scaler(meta):
+    """OpenMDAO driver-scaling conventions
+    (openmdao.utils.general_utils.determine_adder_scaler): the driver
+    sees scaled = (physical + adder) * scaler; ref/ref0 mean physical
+    `ref` maps to 1 and `ref0` to 0, i.e. scaler = 1/(ref - ref0),
+    adder = -ref0; ref/ref0 are MUTUALLY EXCLUSIVE with scaler/adder.
+    Model values, constraint bounds, and compute_totals stay UNSCALED
+    (the round-4 pins) — only the driver's view scales."""
+    scaler, adder = meta.get("scaler"), meta.get("adder")
+    ref, ref0 = meta.get("ref"), meta.get("ref0")
+    if (ref is not None or ref0 is not None) and (
+            scaler is not None or adder is not None):
+        raise ValueError(
+            "ref/ref0 are mutually exclusive with scaler/adder")
+    if ref is not None or ref0 is not None:
+        r0 = 0.0 if ref0 is None else float(ref0)
+        r = 1.0 if ref is None else float(ref)
+        return 1.0 / (r - r0), -r0
+    return (1.0 if scaler is None else float(scaler),
+            0.0 if adder is None else float(adder))
+
+
 class Problem:
     def __init__(self, model=None):
         self.model = model if model is not None else Group()
@@ -325,6 +495,8 @@ class Problem:
         subs = self.model._subs
         deps = {n: set() for n in subs}
         for tgt, src in self.model._conn.items():
+            if isinstance(src, tuple):
+                src = src[0]
             tc, _ = tgt.split(".", 1)
             sc, _ = src.split(".", 1)
             if tc != sc:
@@ -371,9 +543,13 @@ class Problem:
             tgt = f"{comp_name}.{vname}"
             src = self.model._conn.get(tgt)
             if src is not None:
-                comp._inputs[vname] = np.asarray(
-                    self[src], dtype=float).reshape(
-                        comp._inputs[vname].shape)
+                src, idx = src if isinstance(src, tuple) else (src, None)
+                val = np.asarray(self[src], dtype=float).ravel()
+                if idx is not None:
+                    # flat-source indexing (Group.connect src_indices)
+                    val = val[idx]
+                comp._inputs[vname] = val.reshape(
+                    comp._inputs[vname].shape)
 
     def run_model(self):
         for name in self._order:
@@ -397,6 +573,9 @@ class Problem:
         """Reverse-mode totals over the DAG: {(of, wrt): dense}.
 
         of/wrt: lists of "comp.var" paths (outputs / design vars)."""
+        at = getattr(self.model, "_approx_totals", None)
+        if at is not None:
+            return self._fd_totals(of, wrt, **at)
         if jacs is None:
             jacs = self._linearize_all()
         totals = {}
@@ -407,6 +586,44 @@ class Problem:
                 n_wrt = self[wrt_path].size
                 totals[(of_path, wrt_path)] = bars.get(
                     wrt_path, np.zeros((n_of, n_wrt)))
+        return totals
+
+    def _fd_totals(self, of, wrt, step, form):
+        """Group.approx_totals engine: ONE finite-difference sweep over
+        run_model per wrt dof (OpenMDAO's approximated semi-totals) —
+        component partials and the reverse sweep are bypassed
+        entirely. Restores the model state afterwards."""
+        def snap(paths):
+            return {p: np.asarray(self[p]).copy() for p in paths}
+
+        x0 = snap(wrt)
+
+        def eval_at():
+            self.run_model()
+            return {p: np.asarray(self[p]).ravel().copy() for p in of}
+
+        f0 = eval_at() if form != "central" else None
+        totals = {(o, w): np.zeros((self[o].size, self[w].size))
+                  for o in of for w in wrt}
+        for w in wrt:
+            base = x0[w].ravel()
+            for j in range(base.size):
+                def run_pert(sgn):
+                    pert = base.copy()
+                    pert[j] += sgn * step
+                    self[w] = pert.reshape(x0[w].shape)
+                    out = eval_at()
+                    self[w] = x0[w]
+                    return out
+                if form == "central":
+                    fp, fm = run_pert(+1), run_pert(-1)
+                    for o in of:
+                        totals[(o, w)][:, j] = (fp[o] - fm[o]) / (2 * step)
+                else:
+                    fp = run_pert(+1)
+                    for o in of:
+                        totals[(o, w)][:, j] = (fp[o] - f0[o]) / step
+        self.run_model()
         return totals
 
     def _reverse_sweep(self, of_path, jacs):
@@ -457,6 +674,15 @@ class Problem:
                     continue
                 src = self.model._conn.get(tgt)
                 if src is not None:
+                    src, idx = src if isinstance(src, tuple) \
+                        else (src, None)
+                    if idx is not None:
+                        # scatter the target bar back into the source's
+                        # flat columns; duplicate indices ACCUMULATE
+                        # (the transpose of the src_indices gather)
+                        wide = np.zeros((b.shape[0], self[src].size))
+                        np.add.at(wide.T, idx, b.T)
+                        b = wide
                     add_bar(src, b)
         return bars
 
@@ -494,22 +720,23 @@ class Problem:
         dv_paths = list(model._design_vars)
         assert model._objective is not None, "no objective set"
         obj_path, obj_meta = model._objective
-        obj_scaler = obj_meta.get("scaler") or 1.0
+        obj_scaler, obj_adder = _adder_scaler(obj_meta)
 
         sizes = [self[p].size for p in dv_paths]
         offsets = np.concatenate([[0], np.cumsum(sizes)])
-        scalers = [model._design_vars[p].get("scaler") or 1.0
-                   for p in dv_paths]
+        # (scaler, adder) per dv: driver-space x = (physical + adder)*sc
+        sc_ad = [_adder_scaler(model._design_vars[p]) for p in dv_paths]
+        scalers = [sa[0] for sa in sc_ad]
 
         def set_x(x):
-            for p, s0, s1, sc in zip(dv_paths, offsets[:-1], offsets[1:],
-                                     scalers):
-                self[p] = x[s0:s1] / sc
+            for p, s0, s1, (sc, ad) in zip(dv_paths, offsets[:-1],
+                                           offsets[1:], sc_ad):
+                self[p] = x[s0:s1] / sc - ad
 
         def get_x():
             return np.concatenate([
-                np.asarray(self[p]).ravel() * sc
-                for p, sc in zip(dv_paths, scalers)])
+                (np.asarray(self[p]).ravel() + ad) * sc
+                for p, (sc, ad) in zip(dv_paths, sc_ad)])
 
         cons_paths = list(model._constraints)
         state = {"x": None, "jacs": None}
@@ -537,7 +764,7 @@ class Problem:
 
         def f(x):
             ensure(x)
-            return float(self[obj_path]) * obj_scaler
+            return (float(self[obj_path]) + obj_adder) * obj_scaler
 
         def fgrad(x):
             ensure_jac(x)
@@ -546,7 +773,7 @@ class Problem:
         constraints = []
         for cp in cons_paths:
             meta = model._constraints[cp]
-            csc = meta.get("scaler") or 1.0
+            csc, _cad = _adder_scaler(meta)
 
             def make(cp=cp, meta=meta, csc=csc):
                 eq = meta.get("equals")
@@ -583,14 +810,16 @@ class Problem:
                or model._design_vars[p].get("upper") is not None
                for p in dv_paths):
             bounds = []
-            for p, sc in zip(dv_paths, scalers):
+            for p, (sc, ad) in zip(dv_paths, sc_ad):
                 lo = model._design_vars[p].get("lower")
                 up = model._design_vars[p].get("upper")
                 n = self[p].size
                 lo_arr = np.full(n, -np.inf) if lo is None \
-                    else np.broadcast_to(np.asarray(lo, float) * sc, (n,))
+                    else np.broadcast_to(
+                        (np.asarray(lo, float) + ad) * sc, (n,))
                 up_arr = np.full(n, np.inf) if up is None \
-                    else np.broadcast_to(np.asarray(up, float) * sc, (n,))
+                    else np.broadcast_to(
+                        (np.asarray(up, float) + ad) * sc, (n,))
                 bounds.extend(zip(lo_arr, up_arr))
 
         x0 = get_x()
@@ -767,6 +996,10 @@ class _Api:
     Problem = Problem
     ScipyOptimizeDriver = ScipyOptimizeDriver
     pyOptSparseDriver = pyOptSparseDriver
+    NewtonSolver = NewtonSolver
+    NonlinearBlockGS = NonlinearBlockGS
+    DirectSolver = DirectSolver
+    ScipyKrylov = ScipyKrylov
 
 
 api = _Api()

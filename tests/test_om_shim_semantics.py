@@ -506,3 +506,224 @@ def test_run_driver_returns_fail_flag():
     prob.driver.options["disp"] = False
     prob.setup()
     assert prob.run_driver() is False
+
+
+# ---------------------------------------------------------------------
+# round-5 tier: FD partials / approx_totals / NewtonSolver plumbing /
+# ref-ref0-adder scaling / src_indices connection slicing (round-4
+# verdict item 6 -- behaviors the reference demos touch via real
+# OpenMDAO that were not yet pinned)
+# ---------------------------------------------------------------------
+class _FdComp(om.ExplicitComponent):
+    """declare_partials(method='fd'): the FRAMEWORK approximates the
+    partial by differencing compute; any value compute_partials sets
+    for an fd-declared key is IGNORED (OpenMDAO ExplicitComponent
+    FD-partials fallback)."""
+
+    def setup(self):
+        self.add_input("x", shape=2)
+        self.add_output("y", shape=1)
+        self.declare_partials("y", "x", method="fd", form="central",
+                              step=1e-6)
+
+    def compute(self, inputs, outputs):
+        x = inputs["x"]
+        outputs["y"] = np.array([x[0] ** 2 + 3.0 * x[1]])
+
+    def compute_partials(self, inputs, partials):
+        # garbage for the fd-declared key: must be ignored
+        partials["y", "x"] = np.array([[999.0, -999.0]])
+
+
+def test_fd_partials_fallback():
+    # at x0=(1.5, 2): dy/dx = [2*x0, 3] = [3, 3]
+    x0 = np.array([1.5, 2.0])
+    prob = _single_comp_problem(_FdComp(), 2, x0)
+    T = prob.compute_totals(["c.y"], ["ivc.x"])[("c.y", "ivc.x")]
+    np.testing.assert_allclose(np.asarray(T), [[3.0, 3.0]], rtol=1e-6)
+
+
+class _ExactComp(om.ExplicitComponent):
+    def setup(self):
+        self.add_input("x", shape=2)
+        self.add_output("y", shape=1)
+        self.declare_partials("y", "x")
+        self.n_cp_calls = 0
+
+    def compute(self, inputs, outputs):
+        x = inputs["x"]
+        outputs["y"] = np.array([x[0] * x[1]])
+
+    def compute_partials(self, inputs, partials):
+        self.n_cp_calls += 1
+        x = inputs["x"]
+        partials["y", "x"] = np.array([[x[1], x[0]]])
+
+
+def test_approx_totals_bypasses_component_partials():
+    """Group.approx_totals('fd'): totals come from one FD sweep over
+    the group run; component compute_partials is NOT consulted
+    (OpenMDAO Group.approx_totals)."""
+    x0 = np.array([2.0, 5.0])
+    ivc = om.IndepVarComp()
+    ivc.add_output("x", shape=2, val=x0)
+    model = om.Group()
+    model.add_subsystem("ivc", ivc)
+    comp = model.add_subsystem("c", _ExactComp())
+    model.connect("ivc.x", "c.x")
+    model.approx_totals(method="fd", step=1e-7, form="central")
+    prob = om.Problem(model=model)
+    prob.setup()
+    prob.run_model()
+    T = prob.compute_totals(["c.y"], ["ivc.x"])[("c.y", "ivc.x")]
+    np.testing.assert_allclose(np.asarray(T), [[5.0, 2.0]], rtol=1e-5)
+    if hasattr(prob.model, "_subs"):   # shim-only white-box pin
+        assert comp.n_cp_calls == 0
+
+
+class _NewtonImplicit(om.ImplicitComponent):
+    """R(u; a) = u^3 - a with ONLY apply_nonlinear/linearize/
+    solve_linear: a NewtonSolver attached to the component must drive
+    the residual to zero (solve_nonlinear is never defined)."""
+
+    def setup(self):
+        self.add_input("a", shape=1, val=8.0)
+        self.add_output("u", shape=1, val=1.0)
+
+    def apply_nonlinear(self, inputs, outputs, residuals):
+        residuals["u"] = outputs["u"] ** 3 - inputs["a"]
+
+    def linearize(self, inputs, outputs, partials):
+        self._dRdu = 3.0 * np.asarray(outputs["u"]) ** 2
+
+    def apply_linear(self, inputs, outputs, d_inputs, d_outputs,
+                     d_residuals, mode):
+        if mode == "rev":
+            if "a" in d_inputs:
+                d_inputs["a"] = d_inputs["a"] - np.asarray(
+                    d_residuals["u"])
+
+    def solve_linear(self, d_outputs, d_residuals, mode):
+        if mode == "fwd":
+            d_outputs["u"] = np.asarray(d_residuals["u"]) / self._dRdu
+        else:
+            d_residuals["u"] = np.asarray(d_outputs["u"]) / self._dRdu
+
+
+def test_newton_solver_plumbing_on_implicit_comp():
+    """Solver-option plumbing (OpenMDAO NewtonSolver options maxiter/
+    rtol/atol/err_on_non_converge): attached solver drives
+    apply_nonlinear to zero through linearize + solve_linear(fwd)."""
+    ivc = om.IndepVarComp()
+    ivc.add_output("a", shape=1, val=8.0)
+    model = om.Group()
+    model.add_subsystem("ivc", ivc)
+    comp = model.add_subsystem("c", _NewtonImplicit())
+    model.connect("ivc.a", "c.a")
+    comp.nonlinear_solver = om.NewtonSolver(
+        solve_subsystems=False, maxiter=50, atol=1e-12, rtol=1e-12)
+    prob = om.Problem(model=model)
+    prob.setup()
+    prob.run_model()
+    np.testing.assert_allclose(np.asarray(prob["c.u"]), [2.0],
+                               atol=1e-10)
+    # adjoint totals still flow through solve_linear(rev):
+    # du/da = 1/(3u^2) = 1/12
+    T = prob.compute_totals(["c.u"], ["ivc.a"])[("c.u", "ivc.a")]
+    np.testing.assert_allclose(np.asarray(T), [[1.0 / 12.0]],
+                               rtol=1e-8)
+    # maxiter is honored; err_on_non_converge raises on truncation
+    comp2 = _NewtonImplicit()
+    comp2.nonlinear_solver = om.NewtonSolver(
+        solve_subsystems=False, maxiter=1, atol=1e-14, rtol=1e-14,
+        err_on_non_converge=True)
+    ivc2 = om.IndepVarComp()
+    ivc2.add_output("a", shape=1, val=8.0)
+    m2 = om.Group()
+    m2.add_subsystem("ivc", ivc2)
+    m2.add_subsystem("c", comp2)
+    m2.connect("ivc.a", "c.a")
+    p2 = om.Problem(model=m2)
+    p2.setup()
+    with pytest.raises(Exception):
+        p2.run_model()
+
+
+class _Parab(om.ExplicitComponent):
+    def setup(self):
+        self.add_input("x", shape=1)
+        self.add_output("f", shape=1)
+        self.declare_partials("f", "x")
+
+    def compute(self, inputs, outputs):
+        outputs["f"] = (inputs["x"] - 3.0) ** 2
+
+    def compute_partials(self, inputs, partials):
+        partials["f", "x"] = np.array([[2.0 * (inputs["x"][0] - 3.0)]])
+
+
+def _parab_problem(**dv_kw):
+    ivc = om.IndepVarComp()
+    ivc.add_output("x", shape=1, val=0.5)
+    model = om.Group()
+    model.add_subsystem("ivc", ivc)
+    model.add_subsystem("c", _Parab())
+    model.connect("ivc.x", "c.x")
+    model.add_design_var("ivc.x", lower=-10.0, upper=10.0, **dv_kw)
+    model.add_objective("c.f")
+    prob = om.Problem(model=model)
+    prob.setup()
+    prob.run_model()
+    return prob
+
+
+def test_ref_ref0_equivalent_to_scaler_adder():
+    """Driver scaling conventions (openmdao determine_adder_scaler):
+    ref/ref0 mean scaled = (x - ref0)/(ref - ref0) == scaler =
+    1/(ref-ref0), adder = -ref0; the physical optimum is invariant;
+    ref/ref0 are mutually exclusive with scaler/adder."""
+    for kw in (dict(), dict(scaler=4.0), dict(adder=2.0, scaler=4.0),
+               dict(ref=5.0, ref0=1.0)):
+        prob = _parab_problem(**kw)
+        prob.run_driver()
+        np.testing.assert_allclose(np.asarray(prob["ivc.x"]), [3.0],
+                                   atol=1e-6)
+    with pytest.raises(ValueError):
+        p = _parab_problem(ref=5.0, scaler=2.0)
+        p.run_driver()
+
+
+class _SumComp(om.ExplicitComponent):
+    def setup(self):
+        self.add_input("z", shape=3)
+        self.add_output("s", shape=1)
+        self.declare_partials("s", "z")
+
+    def compute(self, inputs, outputs):
+        z = inputs["z"]
+        outputs["s"] = np.array([z[0] + 2.0 * z[1] + 4.0 * z[2]])
+
+    def compute_partials(self, inputs, partials):
+        partials["s", "z"] = np.array([[1.0, 2.0, 4.0]])
+
+
+def test_src_indices_connection_slicing():
+    """connect(..., src_indices=[...]): flat-source gather on the
+    forward pass; the reverse sweep scatters the input bar back
+    through the transpose with ACCUMULATION at duplicate indices
+    (OpenMDAO Group.connect src_indices semantics)."""
+    x0 = np.array([10.0, 20.0, 30.0, 40.0])
+    ivc = om.IndepVarComp()
+    ivc.add_output("x", shape=4, val=x0)
+    model = om.Group()
+    model.add_subsystem("ivc", ivc)
+    model.add_subsystem("c", _SumComp())
+    # z = x[[3, 1, 3]] -- duplicate source index 3
+    model.connect("ivc.x", "c.z", src_indices=[3, 1, 3])
+    prob = om.Problem(model=model)
+    prob.setup()
+    prob.run_model()
+    # s = x3 + 2 x1 + 4 x3 = 5 x3 + 2 x1
+    np.testing.assert_allclose(np.asarray(prob["c.s"]), [240.0])
+    T = prob.compute_totals(["c.s"], ["ivc.x"])[("c.s", "ivc.x")]
+    np.testing.assert_allclose(np.asarray(T), [[0.0, 2.0, 0.0, 5.0]])

@@ -295,7 +295,54 @@ class OptProblem:
                          message=str(sol.optInform),
                          history=[])
 
+    def preflight(self):
+        """Untimed first evaluation of EVERY optimizer callable at x0:
+        the forward-only objective, the gradient pair, and each
+        constraint value/jacobian. On the axon TPU backend each
+        callable's first call pays first-in-process program loads
+        (~12-20 s each at pegasus scale, measured by evtrace inside the
+        round-4 timed region: fun 12.5 s, volume 11.3 s, volume-jac
+        19.4 s, all <0.5 s on the second call) — a warm-up that only
+        exercises value_and_grad misses the forward-only and constraint
+        programs. Call once before timing; also settles the warm-start
+        state at x0."""
+        fun, jac, cons = self._build_callables()
+        x0 = self._x0()
+        jac(x0)
+        fun(x0)
+        for c in cons:
+            c["fun"](x0)
+            c["jac"](x0)
+
     def run_slsqp(self, maxiter=100, tol=1e-9, verbose=False):
+        fun, jac, cons = self._build_callables()
+
+        history = []
+
+        def cb(x):
+            J = fun(x)
+            history.append(J)
+            if verbose:
+                print(f"  slsqp iter {len(history)}: J = {J:.6e}")
+            if self.iter_callback is not None:
+                self.iter_callback(self._unflatten(jnp.asarray(x)), J)
+
+        res = minimize(
+            fun, self._x0(), jac=jac, method="SLSQP",
+            bounds=self._bounds(), constraints=cons, callback=cb,
+            options=dict(maxiter=maxiter, ftol=tol, disp=verbose))
+
+        xdict = {k: np.asarray(v) for k, v in
+                 self._unflatten(jnp.asarray(res.x)).items()}
+        return OptResult(x=xdict, fun=float(res.fun) / self._obj_scaler,
+                         nit=int(res.nit), success=bool(res.success),
+                         message=str(res.message), history=history,
+                         nfev=int(getattr(res, "nfev", -1)),
+                         njev=int(getattr(res, "njev", -1)))
+
+    def _build_callables(self):
+        """(fun, jac, constraints) with single-entry memos — the scipy
+        SLSQP surface. Shared by run_slsqp and preflight."""
         assert self._obj is not None, "set_objective first"
         has_state = self._state0 is not None
         state_box = self.state_box
@@ -452,25 +499,4 @@ class OptProblem:
                     fun=lambda x, cfn=cfn, t=t: t - cfn(x),
                     jac=lambda x, cjac=cjac: -cjac(x)))
 
-        history = []
-
-        def cb(x):
-            J = fun(x)
-            history.append(J)
-            if verbose:
-                print(f"  slsqp iter {len(history)}: J = {J:.6e}")
-            if self.iter_callback is not None:
-                self.iter_callback(self._unflatten(jnp.asarray(x)), J)
-
-        res = minimize(
-            fun, self._x0(), jac=jac, method="SLSQP",
-            bounds=self._bounds(), constraints=cons, callback=cb,
-            options=dict(maxiter=maxiter, ftol=tol, disp=verbose))
-
-        xdict = {k: np.asarray(v) for k, v in
-                 self._unflatten(jnp.asarray(res.x)).items()}
-        return OptResult(x=xdict, fun=float(res.fun) / self._obj_scaler,
-                         nit=int(res.nit), success=bool(res.success),
-                         message=str(res.message), history=history,
-                         nfev=int(getattr(res, "nfev", -1)),
-                         njev=int(getattr(res, "njev", -1)))
+        return fun, jac, cons

@@ -414,7 +414,16 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
             # trial dispatches and go straight to the stall refactor
             ls_fail = True
             d_try, r_try, rn_try, Pi_try = d, r, rn, Pi0
-        for j in range(0 if ls_fail else (1 if slope_tiny else 30)):
+        # Floor-basin bisection cap (round-5 pegasus evtrace): deep in
+        # the Newton basin (rn ~100x below load scale) an energy line
+        # search that cannot accept alpha=1 is chasing roundoff — the
+        # observed collapse bisected to alpha ~ 1e-5 over ~17 trial
+        # dispatches per iteration with |r| moving <1%, ~2 s/iteration
+        # at pegasus scale. 8 bisections (alpha_min ~ 4e-3) is plenty
+        # for any genuine basin step; cold solves (rn near load scale)
+        # keep the full 30.
+        n_bisect = 30 if rn > 1e-2 * r_ref else 8
+        for j in range(0 if ls_fail else (1 if slope_tiny else n_bisect)):
             if j == 0 and pre_trial is not None:
                 # the alpha=1 trial was dispatched (and its scalars
                 # fetched) inside the speculative pipeline above
@@ -432,6 +441,13 @@ def newton_solve_host(data: SystemData, cp, h, d0, rtol=1e-10, atol=1e-14,
             ls_fail = True
         if rn_try is None:
             rn_try = float(rn_try_)
+        if ls_fail and rn <= 1e-2 * r_ref and math.isfinite(slope):
+            # line search exhausted IN the Newton basin with a finite
+            # (typically certificate-validated) direction: the energy
+            # cannot resolve further progress — this is the residual
+            # floor, not a stale factor. Refactoring here burned ~3.3 s
+            # per occurrence at pegasus scale for zero |r| gain.
+            break
         if ls_fail and device_direct and not refactored_on_stall:
             # stale direction not a descent direction: refresh the
             # factor at the current state and retry this iteration

@@ -100,6 +100,13 @@ def main():
         t0 = time.perf_counter()
         fac.preload()
         print(f"preload {time.perf_counter() - t0:.1f}s", flush=True)
+    # load the forward-only objective + constraint value/jacobian
+    # programs OUTSIDE the timed region (evtrace round-5: their
+    # first-in-process loads cost 12-19 s each inside iteration 1)
+    t0 = time.perf_counter()
+    prob.preflight()
+    print(f"callable preflight {time.perf_counter() - t0:.1f}s",
+          flush=True)
     nf0 = fac.n_factor if fac is not None else 0
     nc0 = len(fac.cert_log) if fac is not None else 0
     t0 = time.perf_counter()

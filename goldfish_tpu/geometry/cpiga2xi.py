@@ -310,6 +310,9 @@ def _c2x_step(ss, mi, cp, x, *, p, q, n_ir=3):
 def _c2x_newton_host(ss, mi, cp, x0, *, p, q, rtol=1e-12, max_it=20):
     import numpy as np
 
+    from goldfish_tpu.utils.evtrace import trace
+
+    trace("xi_newton.enter")
     x = x0
     for it in range(max_it):
         # optimistic fused full step (the warm/normal case): accept on
@@ -319,6 +322,7 @@ def _c2x_newton_host(ss, mi, cp, x0, *, p, q, rtol=1e-12, max_it=20):
         # ~27 ms axon tunnel roundtrip EACH — measured)
         rn, rn_new = (float(v) for v in
                       jax.device_get((rn_, rn_new_)))
+        trace("xi_newton.step", it=it, rn=rn, rn_new=rn_new)
         if rn <= rtol:
             return x, it, rn
         if rn_new <= (1 - 1e-4) * rn:

@@ -824,6 +824,9 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     (an extra full residual program per solve otherwise, while a
     per-iteration design step moves it ~0.1%; refreshed every 32
     solves so the drift cannot compound over a long optimization)."""
+    from goldfish_tpu.utils.evtrace import trace
+
+    trace("mi_newton.enter")
     if device_fac is None:
         device_fac = PersistentDeviceFactorMI(data, mi, co, ss, p, q)
 
@@ -860,6 +863,8 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
     same = bool(next(vals)) if pend is not None else None
     r_ref = max(max(r_ref, rn * 1e-6), 1e-300)
     eps = float(jnp.finfo(d0.dtype).eps)
+    trace("mi_newton.entry_readback", rn=rn,
+          drift=-1.0 if drift is None else drift)
 
     d = d0
     stall = 0
@@ -921,6 +926,8 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
         ratio, slope, rn_try, Pi_try = (
             float(x) for x in jax.device_get(
                 (ratio_, slope_, rn_try_, Pi_try_)))
+        trace("mi_newton.dir_readback", it=it, n_ir=n_used, ratio=ratio,
+              rn_try=rn_try)
         if device_fac.finish_ir(n_used, ratio, tol=1e-3,
                                 tag="dir-pipe"):
             pre_trial = (d_try, r_try, rn_try_, rn_try, Pi_try)
@@ -951,7 +958,11 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
             # solver/implicit.newton_solve_host)
             ls_fail = True
             d_try, r_try, rn_try, Pi_try = d, r, rn, Pi0
-        for j in range(0 if ls_fail else (1 if slope_tiny else 30)):
+        # floor-basin bisection cap (see implicit.newton_solve_host):
+        # deep in the basin an unacceptable alpha=1 step is roundoff,
+        # not a direction problem — 8 bisections bound the trial burn
+        n_bisect = 30 if rn > 1e-2 * r_ref else 8
+        for j in range(0 if ls_fail else (1 if slope_tiny else n_bisect)):
             if j == 0 and pre_trial is not None:
                 d_try, r_try, rn_try_, rn_try, Pi_try = pre_trial
             else:
@@ -967,6 +978,11 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
             ls_fail = True
         if rn_try is None:
             rn_try = float(rn_try_)
+        if ls_fail and rn <= 1e-2 * r_ref and math.isfinite(slope):
+            # exhausted IN the basin with a finite certificate-grade
+            # direction: this is the residual floor — stop, don't
+            # refactor (see implicit.newton_solve_host, round 5)
+            break
         if ls_fail and not refactored_on_stall:
             device_fac.ensure(cp, h, xi, d, force=True)
             refactored_on_stall = True
@@ -1007,6 +1023,7 @@ def newton_solve_mi_host(data, mi, co, ss, p, q, cp, h, xi, d0,
         else:
             stall = 0
         Pi0 = Pi_new
+    trace("mi_newton.exit", its=it, rn=rn)
     return d, it, rn
 
 
@@ -1036,8 +1053,10 @@ def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g,
     extrapolated previous adjoint — one fewer jvp sweep when good, a
     certificate-guarded fallback when not."""
     from goldfish_tpu.solver.linalg import mode as _mode
+    from goldfish_tpu.utils.evtrace import trace
 
     if _mode() == "mixed":
+        trace("mi_adjoint.enter")
         fac = device_fac if device_fac is not None \
             else PersistentDeviceFactorMI(data, mi, co, ss, p, q)
         b = g * data.free
@@ -1069,6 +1088,8 @@ def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g,
             drift = float(next(vals))
             ratio = float(next(vals))
             same = bool(next(vals)) if pend is not None else True
+            trace("mi_adjoint.pipe_readback", n_ir=n, ratio=ratio,
+                  drift=drift)
             ok = fac.finish_ir(n, ratio,
                                tag="exact-x0-pipe" if x0 is not None
                                else "exact-pipe")
@@ -1081,6 +1102,7 @@ def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g,
                     fac.finish_prepare(pend, same, cp, h, xi, d)
                 if lam_ws is not None:
                     lam_ws.update(key, lam)
+                trace("mi_adjoint.exit", path="pipe")
                 return out
             # speculation lost: commit the seam state (refactors on a
             # seam-support escape), refactor on gross staleness OR a
@@ -1093,12 +1115,24 @@ def adjoint_solve_mi(data, mi, co, ss, p, q, d, cp, h, xi, g,
                                     and drift > fac.stale_tol)):
                 fac.ensure(cp, h, xi, d, force=True, why="mi-adjoint")
                 fac.prepare(cp, h, xi, d)
+            elif math.isfinite(ratio):
+                # MARGINAL certificate miss: seed the revalidating
+                # solve with the near-answer — a short top-up instead
+                # of a full unseeded redo (see
+                # implicit._pipelined_device_adjoint, round 5)
+                lam = fac.exact_solve(cp, h, xi, d, b, x0=x) * data.free
+                if lam_ws is not None:
+                    lam_ws.update(key, lam)
+                trace("mi_adjoint.exit", path="topup")
+                return _jit_res_vjp_mi(data, mi, co, ss, p, q, d, cp,
+                                       h, xi, lam)
         else:
             fac.ensure(cp, h, xi, d, why="mi-adjoint")
             fac.prepare(cp, h, xi, d)
         lam = fac.exact_solve(cp, h, xi, d, b) * data.free
         if lam_ws is not None:
             lam_ws.update(key, lam)
+        trace("mi_adjoint.exit", path="slow")
         return _jit_res_vjp_mi(data, mi, co, ss, p, q, d, cp, h, xi, lam)
     return _adjoint_solve_mi_direct(data, mi, co, ss, p, q, d, cp, h,
                                     xi, g)

@@ -262,3 +262,36 @@ def test_igs_arc_trim_entity():
     # mask: center inside, far corner outside
     m = trim_mask(np.array([[0.5, 0.5], [0.05, 0.05]]), [c], [])
     assert m.tolist() == [1.0, 0.0]
+
+
+def test_cut_cell_coverage_convergence():
+    """CONVERGENCE pin (round-4 verdict item 9): over subdiv 1/2/4 the
+    binary-mask area error shrinks O(band) while coverage-corrected
+    cut cells sit at the loop polygon's chord-error floor — strictly
+    tighter than binary at EVERY subdiv, and binary strictly improves
+    with refinement (finite-cell theory; geometry/trim.apply_trim)."""
+    from goldfish_tpu.geometry.trim import apply_trim
+    from goldfish_tpu.ops.quadrature import build_patch_quadrature
+
+    r = 0.3
+    surf = _plate(nel=6)
+    hole = _circle_poly(0.5, 0.5, r, n=2048)
+    exact = 1.0 - np.pi * r ** 2
+    p, q = surf.degree
+    err_bin, err_cov = [], []
+    for subdiv in (1, 2, 4):
+        quad = build_patch_quadrature(surf.knots[0], surf.knots[1],
+                                      p, q, surf.weights,
+                                      subdiv=subdiv)
+        a_bin = float(np.sum(
+            apply_trim(quad, None, [hole], coverage=0).wq))
+        a_cov = float(np.sum(apply_trim(quad, None, [hole]).wq))
+        err_bin.append(abs(a_bin - exact))
+        err_cov.append(abs(a_cov - exact))
+    # binary masking converges with subdivision
+    assert err_bin[2] < 0.5 * err_bin[0], err_bin
+    # coverage correction beats binary at every level...
+    for b, c in zip(err_bin, err_cov):
+        assert c < 0.2 * b, (err_bin, err_cov)
+    # ...and already sits at the chord floor at subdiv=1
+    assert err_cov[0] < 5e-5, err_cov

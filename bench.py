@@ -262,7 +262,14 @@ def main():
             and wd.remaining() > 0.35 * wd.budget_s:
         progress("preloading IR sweep-menu program variants")
         fac.preload()
-        progress("preload done")
+        # re-load the factorization program ladder untimed: the
+        # preload's program loads can EVICT it from the device program
+        # cache, and the next refactor then pays the whole ladder
+        # re-load inside the timed region (round-5 pegasus evtrace:
+        # 390-450 s at pegasus scale; the round-4 17.8 s timed-iter-1
+        # outlier at wing scale is the same mechanism)
+        fac.ensure(*fac._ref, force=True, why="post-preload-reload")
+        progress("preload done (factor ladder re-loaded)")
     else:
         progress("skipping preload (no factor or budget too tight)")
 

@@ -308,8 +308,12 @@ class OptProblem:
         state at x0."""
         fun, jac, cons = self._build_callables()
         x0 = self._x0()
-        jac(x0)
+        # fun BEFORE jac: jac seeds the fun memo, so the reverse order
+        # never executes the forward-only callable and its programs
+        # stay unloaded (measured: the timed loop's first fun then paid
+        # the 12.9 s load anyway — round-5 pegasus run 2)
         fun(x0)
+        jac(x0)
         for c in cons:
             c["fun"](x0)
             c["jac"](x0)

@@ -98,8 +98,20 @@ def main():
     fac = getattr(solve, "device_factor", None)
     if fac is not None and getattr(fac, "_ref", None) is not None:
         t0 = time.perf_counter()
-        fac.preload()
+        # menu (2,3,4,6) = the healthy-cert policy range (evtrace run 2:
+        # dir picks 2/4, adjoint 2/4/6). The FULL 8-variant x 3-kernel
+        # preload EVICTED the blocked-Cholesky program ladder from the
+        # device program cache: the first factorization after it paid a
+        # ~390-450 s ladder re-load (both round-5 runs, same spot —
+        # previously misread as a relay stall).
+        fac.preload(menu=(2, 3, 4, 6))
         print(f"preload {time.perf_counter() - t0:.1f}s", flush=True)
+        # re-load the factorization ladder UNTIMED (it must be resident
+        # when a mid-loop rho-refresh/drift refactor fires)
+        t0 = time.perf_counter()
+        fac.ensure(*fac._ref, force=True, why="post-preload-reload")
+        print(f"factor reload {time.perf_counter() - t0:.1f}s",
+              flush=True)
     # load the forward-only objective + constraint value/jacobian
     # programs OUTSIDE the timed region (evtrace round-5: their
     # first-in-process loads cost 12-19 s each inside iteration 1)

@@ -262,14 +262,7 @@ def main():
             and wd.remaining() > 0.35 * wd.budget_s:
         progress("preloading IR sweep-menu program variants")
         fac.preload()
-        # re-load the factorization program ladder untimed: the
-        # preload's program loads can EVICT it from the device program
-        # cache, and the next refactor then pays the whole ladder
-        # re-load inside the timed region (round-5 pegasus evtrace:
-        # 390-450 s at pegasus scale; the round-4 17.8 s timed-iter-1
-        # outlier at wing scale is the same mechanism)
-        fac.ensure(*fac._ref, force=True, why="post-preload-reload")
-        progress("preload done (factor ladder re-loaded)")
+        progress("preload done")
     else:
         progress("skipping preload (no factor or budget too tight)")
 
@@ -289,6 +282,17 @@ def main():
         d = dw
         n_warm += 1
         progress(f"warm-up {n_warm}/5 (dh={dh:+.0e}) done")
+
+    # re-load the factorization program ladder LAST, untimed: program
+    # loads (preload/warm-up) can EVICT it from the device program
+    # cache, and the next refactor then pays the whole ladder re-load
+    # inside the timed region (round-5 pegasus evtrace: 285-450 s at
+    # pegasus scale; the round-4 17.8 s timed-iter-1 outlier at wing
+    # scale is the same mechanism). Must be the final load before
+    # timing — a reload BEFORE other loads gets re-evicted (measured).
+    if fac is not None and getattr(fac, "_ref", None) is not None:
+        fac.ensure(*fac._ref, force=True, why="pre-timed-reload")
+        progress("factor ladder re-loaded (untimed)")
 
     wd.phase = "timed"
     times = []

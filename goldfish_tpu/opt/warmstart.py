@@ -28,12 +28,23 @@ __all__ = ["SecantWarmStart"]
 def _alpha(dx_new, dx_old):
     num = jnp.vdot(dx_old, dx_new)
     den = jnp.vdot(dx_old, dx_old) + 1e-300
-    return jnp.clip(num / den, -2.0, 2.0)
+    a = jnp.clip(num / den, -2.0, 2.0)
+    # non-finite step metrics (a rejected NaN trial left garbage in a
+    # recorded design key) must yield a = 0, not poison the prediction
+    return jnp.where(jnp.isfinite(a), a, 0.0)
 
 
 @jax.jit
 def _extrapolate(d, d2, a):
-    return d + a * (d - d2)
+    out = d + a * (d - d2)
+    # a seed is only a seed: if any extrapolated entry is non-finite
+    # (e.g. one recorded state held inf/nan), fall back to the last
+    # converged state elementwise, and to zero where even that is bad —
+    # downstream certificate gates stay the exactness authority, but a
+    # NaN seed wastes a whole fallback solve (round-5 pegasus: nan
+    # pipe certificates at iteration-1 jac)
+    safe_d = jnp.where(jnp.isfinite(d), d, 0.0)
+    return jnp.where(jnp.isfinite(out), out, safe_d)
 
 
 class SecantWarmStart:

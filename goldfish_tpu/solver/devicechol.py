@@ -276,13 +276,23 @@ class PersistentDeviceFactor:
 
         import time as _time
         t0 = _time.perf_counter()
+        if _tr:
+            # sub-stage attribution (queue-wait vs assemble vs ladder):
+            # the syncs exist only under tracing
+            jax.device_get(jnp.asarray(d).ravel()[0])
+            t_q = _time.perf_counter()
         K = _jit_assemble_K(self.data, cp, h, d)
+        if _tr:
+            jax.device_get(K[0, 0])
+            t_asm = _time.perf_counter()
         self.dc.factor(K)
         if _tr:
             # force completion so the traced dt is the real wall
             jax.device_get(self.dc._L[0, 0])
+            t1 = _time.perf_counter()
             trace("factor", why=why or "drift", drift=drift,
-                  dt=_time.perf_counter() - t0)
+                  dt=t1 - t0, queue=t_q - t0, asm=t_asm - t_q,
+                  ladder=t1 - t_asm)
         self._ref = (cp, h, d)
         self.n_factor += 1
         self.rho_est = self._RHO0
@@ -323,11 +333,19 @@ class PersistentDeviceFactor:
     # scripts/diag_pegasus_slsqp.py): a factor pinned at a BAD state
     # (e.g. a stall refactor landing on an unconverged mid-Newton
     # iterate) keeps PASSING direction certificates forever at
-    # rho ~ 0.6 — no drift heuristic fires, and every direction and
-    # adjoint silently pays a MAX_SWEEPS program (measured 4.5 s vs
-    # 1.2 s at pegasus scale). 0.1, not lower: fresh factors
-    # legitimately measure rho ~ 0.07 under 1e-2-sized design steps.
-    rho_refresh = 0.1
+    # rho ~ 0.26-0.6 — no drift heuristic fires, and every direction
+    # and adjoint silently pays a MAX_SWEEPS program (measured 4.5 s
+    # vs 1.2 s at pegasus scale). Round-5 recalibration 0.1 -> 0.22:
+    # the rho measured from a PASSING direction cert is tol-BIASED
+    # (n_for sizes n so ratio lands just under tol: a pass at 9.5e-4
+    # with n=4 reads rho 0.18 whatever the factor's quality), and a
+    # healthy one-optimizer-step-stale factor at pegasus scale
+    # genuinely measures rho 0.15-0.18 (12-sweep certs at 1.7e-10
+    # confirm) — with 0.1, EVERY first adjoint after an accepted step
+    # refactored for nothing. 0.22 splits the measured populations:
+    # healthy-stale 0.07-0.18 rides (n<=12, preloaded); pinned-bad
+    # 0.26-0.6 refreshes.
+    rho_refresh = 0.22
     # every distinct n_ir is a SEPARATE XLA program (one-time 1-5 min
     # compiles through the axon tunnel, CLAUDE.md): quantize the sweep
     # count to a small menu so the policy can ever request at most 8
@@ -464,7 +482,7 @@ class PersistentDeviceFactor:
                 refactored = True
         return delta, float(slope)
 
-    def preload(self, menu=None):
+    def preload(self, menu=None, dir_menu=None):
         """Force the first-in-process XLA program LOAD of every
         sweep-menu variant of the three IR kernels (direction /
         unseeded / seeded solve) against the current factor.
@@ -485,18 +503,28 @@ class PersistentDeviceFactor:
             raise RuntimeError("preload needs a factor: call ensure()")
         cp, h, d = self._ref
         b = jnp.asarray(self.data.free, dtype=cp.dtype)
+        menu = self._N_MENU if menu is None else menu
+        # dir_menu: extra sweep counts to load for the DIRECTION kernel
+        # only (the recovery path's 12-sweep program is dir-only; the
+        # solve kernels at those n are unused warm, and every resident
+        # program adds device-program-cache eviction pressure — the
+        # round-5 pegasus finding)
+        dir_menu = menu if dir_menu is None else dir_menu
         outs = []
-        for n in (self._N_MENU if menu is None else menu):
+        for n in sorted(set(menu) | set(dir_menu)):
             _, r1, _ = _jvp_ir_dir(
                 self.data, self.dc._L, self.dc._invs, self.dc._dscale,
                 cp, h, d, b, nb=self.dc.nb, n_ir=n)
-            _, r2 = _jvp_ir_solve(
-                self.data, self.dc._L, self.dc._invs, self.dc._dscale,
-                cp, h, d, b, nb=self.dc.nb, n_ir=n)
-            _, r3 = _jvp_ir_solve_seeded(
-                self.data, self.dc._L, self.dc._invs, self.dc._dscale,
-                cp, h, d, b, b * 0.0, nb=self.dc.nb, n_ir=n)
-            outs += [r1, r2, r3]
+            outs.append(r1)
+            if n in menu:
+                _, r2 = _jvp_ir_solve(
+                    self.data, self.dc._L, self.dc._invs,
+                    self.dc._dscale, cp, h, d, b, nb=self.dc.nb, n_ir=n)
+                _, r3 = _jvp_ir_solve_seeded(
+                    self.data, self.dc._L, self.dc._invs,
+                    self.dc._dscale, cp, h, d, b, b * 0.0,
+                    nb=self.dc.nb, n_ir=n)
+                outs += [r2, r3]
         jax.device_get(outs)
 
     def ir_solve_async(self, cp, h, d, b, x0=None, tol=1e-6):

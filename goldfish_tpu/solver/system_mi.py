@@ -464,9 +464,15 @@ class PersistentDeviceFactorMI:
     # a FRESH factor legitimately measures rho ~0.07 when the design
     # steps are 1e-2-sized (within-solve d-motion, not factor quality
     # — measured in tests/test_pipeline_fallback.py) and refreshing on
-    # that would thrash; 0.1 also keeps n_for(1e-6, rho) on the <=8
-    # side of the sweep menu's 8 -> 16 jump.
-    rho_refresh = 0.1
+    # that would thrash; 0.1 also kept n_for(1e-6, rho) on the <=8
+    # side of the old sweep menu's 8 -> 16 jump. Round-5: raised to
+    # 0.2 — the rho measured from a PASSING cert is tol-BIASED toward
+    # tol^(1/n) (see devicechol.rho_refresh), which parks healthy
+    # post-step factors at 0.15-0.18 and fired a refactorization on
+    # the first adjoint after every accepted optimizer step; 0.2 stays
+    # below the measured 0.26 pinned-bad population, and the menu's 12
+    # entry now covers n_for(1e-6, 0.2) = 12 without the 16 jump.
+    rho_refresh = 0.2
 
     def __init__(self, data, mi, co, ss, p, q, nb=256, mb=16,
                  stale_tol=5e-3, n_ir=3):

@@ -104,14 +104,8 @@ def main():
         # device program cache: the first factorization after it paid a
         # ~390-450 s ladder re-load (both round-5 runs, same spot —
         # previously misread as a relay stall).
-        fac.preload(menu=(2, 3, 4, 6))
+        fac.preload(menu=(2, 3, 4, 6), dir_menu=(2, 3, 4, 6, 12))
         print(f"preload {time.perf_counter() - t0:.1f}s", flush=True)
-        # re-load the factorization ladder UNTIMED (it must be resident
-        # when a mid-loop rho-refresh/drift refactor fires)
-        t0 = time.perf_counter()
-        fac.ensure(*fac._ref, force=True, why="post-preload-reload")
-        print(f"factor reload {time.perf_counter() - t0:.1f}s",
-              flush=True)
     # load the forward-only objective + constraint value/jacobian
     # programs OUTSIDE the timed region (evtrace round-5: their
     # first-in-process loads cost 12-19 s each inside iteration 1)
@@ -119,6 +113,15 @@ def main():
     prob.preflight()
     print(f"callable preflight {time.perf_counter() - t0:.1f}s",
           flush=True)
+    # re-load the factorization ladder LAST, untimed: any program load
+    # after it (preflight included — run-3 measurement: the reload
+    # before preflight got re-evicted and iteration-1's rho-refresh
+    # paid a 285 s in-loop ladder re-load) can evict it again
+    if fac is not None and getattr(fac, "_ref", None) is not None:
+        t0 = time.perf_counter()
+        fac.ensure(*fac._ref, force=True, why="post-preflight-reload")
+        print(f"factor reload {time.perf_counter() - t0:.1f}s",
+              flush=True)
     nf0 = fac.n_factor if fac is not None else 0
     nc0 = len(fac.cert_log) if fac is not None else 0
     t0 = time.perf_counter()

@@ -538,20 +538,40 @@ def _pipelined_device_adjoint(data: SystemData, fac, cp, h, d, g,
     in-program certificate: a failed certificate discards the
     speculated vjp and falls back to the self-validating exact_solve
     (which refactors / re-sizes sweeps as needed)."""
-    from goldfish_tpu.utils.evtrace import trace
+    from goldfish_tpu.utils.evtrace import enabled as _tr, trace
 
     trace("adjoint.enter")
+    if _tr:
+        # separate the COTANGENT chain (the eager AD of everything
+        # outside this custom_vjp, queued before g materializes) from
+        # the solve in the trace timeline — tracing-only sync
+        jax.device_get(jnp.ravel(g)[0])
+        trace("adjoint.g_sync")
     b = g * data.free
     x0 = None
     if lam_ws is not None and key is not None:
         x0 = lam_ws.predict(key, None)
     if fac._ref is not None:
         drift_ = fac.drift_scalar(cp, h, d)
+        if _tr:
+            jax.device_get(drift_)
+            trace("adjoint.drift_sync")
         x, ratio_, n = fac.ir_solve_async(cp, h, d, b, x0=x0)
         lam = x * data.free
-        out = vjp_fn(lam)  # speculative: wasted only on cert failure
-        drift, ratio = (float(v) for v in
-                        jax.device_get((drift_, ratio_)))
+        if _tr:
+            # tracing mode SERIALIZES the pipe to attribute the wall:
+            # solve first, then the vjp — production keeps the
+            # speculative single-readback pipeline below
+            drift, ratio = (float(v) for v in
+                            jax.device_get((drift_, ratio_)))
+            trace("adjoint.solve_done", n_ir=n, ratio=ratio)
+            out = vjp_fn(lam)
+            jax.device_get(jnp.ravel(out[0])[0])
+            trace("adjoint.vjp_done")
+        else:
+            out = vjp_fn(lam)  # speculative: wasted only on cert failure
+            drift, ratio = (float(v) for v in
+                            jax.device_get((drift_, ratio_)))
         trace("adjoint.pipe_readback", n_ir=n, ratio=ratio, drift=drift)
         if fac.finish_ir(n, ratio,
                          tag="exact-x0-pipe" if x0 is not None

@@ -42,11 +42,21 @@ def main():
     data = sys_.data
     solve = build_solve_fn(data, rtol=1e-9, max_it=30)
 
+    # JIT the non-solve segments with every array an ARGUMENT (the
+    # axon f64 closure-constant rule): eagerly-executed AD chains of
+    # the thickness map + energy dispatch dozens of per-op programs
+    # per gradient — as two jitted programs their fwd AND transpose
+    # run compiled (round-5 evtrace: the cotangent chain dominated the
+    # adjoint wall at pegasus scale)
+    _jit_hmap = jax.jit(
+        lambda F, idx, h_ffd: jnp.concatenate(
+            [F @ h_ffd, jnp.zeros((1,), h_ffd.dtype)])[idx])
+    _jit_energy = jax.jit(kl_shell.internal_energy)
+
     def opt_iteration(h_ffd, d0):
-        h = th(h_ffd)
+        h = _jit_hmap(th.F, th.layout._idx, h_ffd)
         d = solve(cp, h, d0)
-        J = kl_shell.internal_energy(sys_.stack, d, cp, h, sys_.E,
-                                     sys_.nu)
+        J = _jit_energy(sys_.stack, d, cp, h, sys_.E, sys_.nu)
         return J, d
 
     vg = jax.value_and_grad(opt_iteration, has_aux=True)
@@ -66,8 +76,11 @@ def main():
         stamps.append(time.perf_counter())
         return opt_iteration(dvs["h_ffd"], dd)
 
+    _jit_volume = jax.jit(kl_shell.volume)
+
     def vol(dvs):
-        return kl_shell.volume(sys_.stack, cp, th(dvs["h_ffd"]))
+        h = _jit_hmap(th.F, th.layout._idx, dvs["h_ffd"])
+        return _jit_volume(sys_.stack, cp, h)
 
     # replicate pegasus_tpu.py's phase-C preconditions so the timed
     # SLSQP matches its C2 measurement (round 3 baseline 33.9 s/it):
@@ -104,7 +117,7 @@ def main():
         # device program cache: the first factorization after it paid a
         # ~390-450 s ladder re-load (both round-5 runs, same spot —
         # previously misread as a relay stall).
-        fac.preload(menu=(2, 3, 4, 6), dir_menu=(2, 3, 4, 6, 12))
+        fac.preload(menu=(2, 3, 4, 6, 8), dir_menu=(2, 3, 4, 6, 8, 12))
         print(f"preload {time.perf_counter() - t0:.1f}s", flush=True)
     # load the forward-only objective + constraint value/jacobian
     # programs OUTSIDE the timed region (evtrace round-5: their
@@ -153,6 +166,8 @@ def main():
             "n_refactor": n_refactor,
             "J0": float(res.history[0]) if res.history else None,
             "J_final": float(res.fun),
+            "eval_entry_gaps_s": [round(float(x), 1)
+                                  for x in _np.diff(stamps)],
         }
         with open(path, "w") as f:
             json.dump(out, f, indent=1)

@@ -56,15 +56,26 @@ def main(n_sections=18, num_el=3, p=3, maxiter=5, verbose=True,
     cp = sys_.cp
     V0 = float(sys_.volume())
 
+    # JIT the non-solve segments with every array an ARGUMENT (axon
+    # f64 closure-constant rule, CLAUDE.md): the eager AD chain of the
+    # thickness map + energy otherwise dispatches dozens of per-op
+    # programs per gradient on TPU (round-5 pegasus measurement)
+    import jax
+
+    _jit_energy = jax.jit(kl_shell.internal_energy)
+    _jit_volume = jax.jit(kl_shell.volume)
+
+    def h_of(h_dv):
+        return th(h_dv)
+
     def obj(dvs, d0):
-        h = th(dvs["h_ffd"])
+        h = h_of(dvs["h_ffd"])
         d = solve(cp, h, d0)
-        J = kl_shell.internal_energy(sys_.stack, d, cp, h,
-                                     sys_.E, sys_.nu)
+        J = _jit_energy(sys_.stack, d, cp, h, sys_.E, sys_.nu)
         return J, d
 
     def vol(dvs):
-        return kl_shell.volume(sys_.stack, cp, th(dvs["h_ffd"]))
+        return _jit_volume(sys_.stack, cp, h_of(dvs["h_ffd"]))
 
     prob = OptProblem()
     prob.add_design_var("h_ffd", h_init,
@@ -72,6 +83,12 @@ def main(n_sections=18, num_el=3, p=3, maxiter=5, verbose=True,
                         scaler=1e2)
     prob.set_objective(obj, scaler=1.0, state0=sys_.zero_displacement())
     prob.add_constraint("volume", vol, equals=V0, scaler=1e2)
+
+    # load every optimizer callable's programs before the timed run
+    # (first-in-process loads cost 12-19 s each through the axon
+    # tunnel; OptProblem.preflight docstring)
+    if jax.default_backend() != "cpu":
+        prob.preflight()
 
     t1 = time.perf_counter()
     if checkpoint is not None:

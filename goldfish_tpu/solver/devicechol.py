@@ -527,6 +527,26 @@ class PersistentDeviceFactor:
                 outs += [r2, r3]
         jax.device_get(outs)
 
+    def ir_solve_async_dir(self, cp, h, d, b, tol=1e-6):
+        """Adjoint-grade solve VIA THE DIRECTION KERNEL (K x = b as
+        `_jvp_ir_dir(r=-b)`; identical math, slope discarded). At
+        production scale the once-per-iteration seeded/unseeded solve
+        programs are the LRU victims of the device program cache and
+        re-LOAD (~16-19 s) on EVERY jac, while the dir kernel —
+        exercised every Newton iteration of every fun — stays resident
+        at ~0.3 s/sweep (round-5 pegasus attribution:
+        scripts/diag_ir_kernels.py shows all three kernels identical
+        warm, 0.6-1.3 s; only the in-loop context differs). The secant
+        seed is intentionally dropped on this path: one extra sweep on
+        a resident program beats a 17 s reload. Returns (x, ratio_dev,
+        n) like ir_solve_async; certificate semantics unchanged."""
+        self._rho_entry_refresh(cp, h, d)
+        n = self._n_for(tol, self.rho_est)
+        x, ratio, _ = _jvp_ir_dir(
+            self.data, self.dc._L, self.dc._invs, self.dc._dscale,
+            cp, h, d, -b, nb=self.dc.nb, n_ir=n)
+        return x, ratio, n
+
     def ir_solve_async(self, cp, h, d, b, x0=None, tol=1e-6):
         """ONE jvp-IR dispatch with NO readback: returns (x, ratio_dev,
         n_used). The caller fetches `ratio_dev` batched with its other

@@ -556,7 +556,11 @@ def _pipelined_device_adjoint(data: SystemData, fac, cp, h, d, g,
         if _tr:
             jax.device_get(drift_)
             trace("adjoint.drift_sync")
-        x, ratio_, n = fac.ir_solve_async(cp, h, d, b, x0=x0)
+        # dir-kernel solve (resident in the Newton loop's working set);
+        # the seeded kernels re-loaded ~17 s per jac at pegasus scale
+        # (see ir_solve_async_dir). x0 still seeds the exact_solve
+        # fallback below.
+        x, ratio_, n = fac.ir_solve_async_dir(cp, h, d, b)
         lam = x * data.free
         if _tr:
             # tracing mode SERIALIZES the pipe to attribute the wall:

@@ -117,7 +117,7 @@ def main():
         # device program cache: the first factorization after it paid a
         # ~390-450 s ladder re-load (both round-5 runs, same spot —
         # previously misread as a relay stall).
-        fac.preload(menu=(2, 3, 4, 6, 8), dir_menu=(2, 3, 4, 6, 8, 12))
+        fac.preload(menu=(4,), dir_menu=(2, 3, 4, 6, 8, 12))
         print(f"preload {time.perf_counter() - t0:.1f}s", flush=True)
     # load the forward-only objective + constraint value/jacobian
     # programs OUTSIDE the timed region (evtrace round-5: their

@@ -140,15 +140,20 @@ def _jvp_ir_solve(data: SystemData, L, invs, dscale, cp, h, d, b,
     x = subst(b)
 
     def sweep(_, carry):
-        x, _ = carry
+        x, dx_prev, _ = carry
         r = (b - tangent_matvec(data, d, cp, h, x)) * data.free
         dx = subst(r)
-        return x + dx, jnp.linalg.norm(dx)
+        return x + dx, jnp.linalg.norm(dx), dx_prev
 
-    x, last_dx = jax.lax.fori_loop(0, n_ir, sweep,
-                                   (x, jnp.linalg.norm(x)))
+    x, last_dx, prev_dx = jax.lax.fori_loop(
+        0, n_ir, sweep, (x, jnp.linalg.norm(x), jnp.linalg.norm(x)))
     ratio = last_dx / (jnp.linalg.norm(x) + 1e-300)
-    return x, ratio
+    # UNBIASED per-sweep contraction |dx_n|/|dx_{n-1}|: ratio^(1/n) is
+    # tol-biased (n is sized so ratio lands just under tol, so the
+    # root reads ~tol^(1/n) whatever the factor quality — round-5
+    # policy finding); rho_last measures the factor itself
+    rho_last = last_dx / (prev_dx + 1e-300)
+    return x, ratio, rho_last
 
 
 @partial(jax.jit, static_argnames=("nb", "n_ir"))
@@ -172,15 +177,16 @@ def _jvp_ir_solve_seeded(data: SystemData, L, invs, dscale, cp, h, d,
         return (dscale * y[:N]).reshape(b.shape)
 
     def sweep(_, carry):
-        x, _ = carry
+        x, dx_last, _ = carry
         r = (b - tangent_matvec(data, d, cp, h, x)) * data.free
         dx = subst(r)
-        return x + dx, jnp.linalg.norm(dx)
+        return x + dx, jnp.linalg.norm(dx), dx_last
 
-    x, last_dx = jax.lax.fori_loop(0, n_ir, sweep,
-                                   (x0, jnp.linalg.norm(x0)))
+    x, last_dx, prev_dx = jax.lax.fori_loop(
+        0, n_ir, sweep, (x0, jnp.linalg.norm(x0), jnp.linalg.norm(x0)))
     ratio = last_dx / (jnp.linalg.norm(x) + 1e-300)
-    return x, ratio
+    rho_last = last_dx / (prev_dx + 1e-300)
+    return x, ratio, rho_last
 
 
 @partial(jax.jit, static_argnames=("nb",))
@@ -203,10 +209,10 @@ def _jvp_ir_dir(data: SystemData, L, invs, dscale, cp, h, d, r,
                 nb: int, n_ir: int):
     """IR-exact Newton direction: jvp-IR solve + certificate +
     free-mask + Armijo slope, one program (see _jvp_ir_solve)."""
-    x, ratio = _jvp_ir_solve.__wrapped__(data, L, invs, dscale, cp, h,
-                                         d, -r, nb=nb, n_ir=n_ir)
+    x, ratio, rho_last = _jvp_ir_solve.__wrapped__(
+        data, L, invs, dscale, cp, h, d, -r, nb=nb, n_ir=n_ir)
     delta = x * data.free
-    return delta, ratio, jnp.sum(r * delta)
+    return delta, ratio, jnp.sum(r * delta), rho_last
 
 
 class PersistentDeviceFactor:
@@ -403,6 +409,23 @@ class PersistentDeviceFactor:
             return 1e-4
         return self.last_ratio ** (1.0 / n_ir)
 
+    def _rho_meas(self, n_ir, rho_last=None):
+        """Contraction estimate: min(LAST-SWEEP ratio |dx_n|/|dx_{n-1}|,
+        ratio^(1/n)). Each is wrong in one regime: ratio^(1/n) is
+        tol-BIASED high (n is sized so ratio lands just under tol, so
+        the root reads ~tol^(1/n) for any factor quality — round-5
+        pegasus policy finding); rho_last is NOISE once the solve hits
+        the roundoff floor (corrections stop contracting — a fresh
+        factor measured rho_last 0.39 at a 1e-15 certificate). The min
+        is right in both regimes."""
+        import math
+
+        base = self._rho(n_ir)
+        if rho_last is not None and math.isfinite(rho_last) \
+                and rho_last > 0.0:
+            return min(max(min(float(rho_last), base), 1e-4), 0.9)
+        return base
+
     def _rho_entry_refresh(self, cp, h, d):
         """Unpin a persistently mediocre factor on MEASURED contraction
         (see `rho_refresh`): when the estimate is mediocre AND the
@@ -440,10 +463,11 @@ class PersistentDeviceFactor:
         refactored = False
         for attempt in range(5):
             n_ir = self._n_for(tol, self.rho_est)
-            delta, ratio, slope = _jvp_ir_dir(
+            delta, ratio, slope, rho_last_ = _jvp_ir_dir(
                 self.data, self.dc._L, self.dc._invs, self.dc._dscale,
                 cp, h, d, r, nb=self.dc.nb, n_ir=n_ir)
             self.last_ratio = float(ratio)
+            rho_last = float(rho_last_)
             self.cert_log.append(("dir", n_ir, self.last_ratio))
             from goldfish_tpu.utils.evtrace import trace
             trace("dir_cert", attempt=attempt, n_ir=n_ir,
@@ -473,9 +497,10 @@ class PersistentDeviceFactor:
                 # refactorization + redo for zero convergence benefit.
                 # Adjoint solves keep their strict 1e-6 gate; only the
                 # direction grade relaxes.
-                self.rho_est = max(self._rho(n_ir), self._RHO0)
+                self.rho_est = max(self._rho_meas(n_ir, rho_last),
+                                   self._RHO0)
                 break
-            self.rho_est = self._rho(n_ir)
+            self.rho_est = self._rho_meas(n_ir, rho_last)
             if not refactored and (self.rho_est > 0.5 or attempt >= 3
                                    or n_ir >= self._MAX_SWEEPS):
                 self.ensure(cp, h, d, force=True, why="dir-cert")
@@ -512,15 +537,15 @@ class PersistentDeviceFactor:
         dir_menu = menu if dir_menu is None else dir_menu
         outs = []
         for n in sorted(set(menu) | set(dir_menu)):
-            _, r1, _ = _jvp_ir_dir(
+            _, r1, _, _ = _jvp_ir_dir(
                 self.data, self.dc._L, self.dc._invs, self.dc._dscale,
                 cp, h, d, b, nb=self.dc.nb, n_ir=n)
             outs.append(r1)
             if n in menu:
-                _, r2 = _jvp_ir_solve(
+                _, r2, _ = _jvp_ir_solve(
                     self.data, self.dc._L, self.dc._invs,
                     self.dc._dscale, cp, h, d, b, nb=self.dc.nb, n_ir=n)
-                _, r3 = _jvp_ir_solve_seeded(
+                _, r3, _ = _jvp_ir_solve_seeded(
                     self.data, self.dc._L, self.dc._invs,
                     self.dc._dscale, cp, h, d, b, b * 0.0,
                     nb=self.dc.nb, n_ir=n)
@@ -542,10 +567,10 @@ class PersistentDeviceFactor:
         n) like ir_solve_async; certificate semantics unchanged."""
         self._rho_entry_refresh(cp, h, d)
         n = self._n_for(tol, self.rho_est)
-        x, ratio, _ = _jvp_ir_dir(
+        x, ratio, _, rho_last = _jvp_ir_dir(
             self.data, self.dc._L, self.dc._invs, self.dc._dscale,
             cp, h, d, -b, nb=self.dc.nb, n_ir=n)
-        return x, ratio, n
+        return x, ratio, n, rho_last
 
     def ir_solve_async(self, cp, h, d, b, x0=None, tol=1e-6):
         """ONE jvp-IR dispatch with NO readback: returns (x, ratio_dev,
@@ -558,17 +583,18 @@ class PersistentDeviceFactor:
         self._rho_entry_refresh(cp, h, d)
         if x0 is not None:
             n = self._n_for(tol, self.rho_est, seeded=True)
-            x, ratio = _jvp_ir_solve_seeded(
+            x, ratio, rho_last = _jvp_ir_solve_seeded(
                 self.data, self.dc._L, self.dc._invs, self.dc._dscale,
                 cp, h, d, b, x0, nb=self.dc.nb, n_ir=n)
         else:
             n = self._n_for(tol, self.rho_est)
-            x, ratio = _jvp_ir_solve(self.data, self.dc._L,
-                                     self.dc._invs, self.dc._dscale,
-                                     cp, h, d, b, nb=self.dc.nb, n_ir=n)
-        return x, ratio, n
+            x, ratio, rho_last = _jvp_ir_solve(
+                self.data, self.dc._L, self.dc._invs, self.dc._dscale,
+                cp, h, d, b, nb=self.dc.nb, n_ir=n)
+        return x, ratio, n, rho_last
 
-    def finish_ir(self, n, ratio, tol=1e-6, tag="exact-pipe"):
+    def finish_ir(self, n, ratio, tol=1e-6, tag="exact-pipe",
+                  rho_last=None):
         """Certificate bookkeeping for an `ir_solve_async` dispatch
         (same rho_est update rules as exact_solve)."""
         import math
@@ -576,7 +602,7 @@ class PersistentDeviceFactor:
         self.last_ratio = float(ratio)
         self.cert_log.append((tag, n, self.last_ratio))
         if self.last_ratio <= tol:
-            self.rho_est = max(self._rho(n), self._RHO0)
+            self.rho_est = max(self._rho_meas(n, rho_last), self._RHO0)
             return True
         if not math.isfinite(self.last_ratio):
             # do NOT fold a non-finite certificate into rho_est here:
@@ -585,7 +611,7 @@ class PersistentDeviceFactor:
             # premature rho_est=0.9 would make its first attempt burn
             # a MAX_SWEEPS program on what is usually a NaN trial point
             return False
-        self.rho_est = self._rho(n)
+        self.rho_est = self._rho_meas(n, rho_last)
         return False
 
     def exact_solve(self, cp, h, d, b, n_ir=None, tol=1e-6, x0=None):
@@ -606,7 +632,7 @@ class PersistentDeviceFactor:
         self._rho_entry_refresh(cp, h, d)
         if x0 is not None:
             n = self._n_for(tol, self.rho_est, seeded=True)
-            x, ratio = _jvp_ir_solve_seeded(
+            x, ratio, rho_last = _jvp_ir_solve_seeded(
                 self.data, self.dc._L, self.dc._invs, self.dc._dscale,
                 cp, h, d, b, x0, nb=self.dc.nb, n_ir=n)
             r = float(ratio)
@@ -619,7 +645,8 @@ class PersistentDeviceFactor:
                 # damage and without this update rho_est stays stuck at
                 # its cold pessimistic value and every seeded solve
                 # over-sweeps (measured: n=6 for certs at 1e-15)
-                self.rho_est = max(self._rho(n), self._RHO0)
+                self.rho_est = max(self._rho_meas(n, float(rho_last)),
+                                   self._RHO0)
                 return x
             # bad seed or stale factor: fall through unseeded
         import math
@@ -628,11 +655,11 @@ class PersistentDeviceFactor:
         refactored = False
         for attempt in range(5):
             n = self._n_for(tol, self.rho_est) if n_ir is None else n_ir
-            x, ratio = _jvp_ir_solve(self.data, self.dc._L,
-                                     self.dc._invs, self.dc._dscale,
-                                     cp, h, d, b, nb=self.dc.nb,
-                                     n_ir=n)
+            x, ratio, rho_last_ = _jvp_ir_solve(
+                self.data, self.dc._L, self.dc._invs, self.dc._dscale,
+                cp, h, d, b, nb=self.dc.nb, n_ir=n)
             self.last_ratio = float(ratio)
+            rho_last_u = float(rho_last_)
             self.cert_log.append(("exact", n, self.last_ratio))
             from goldfish_tpu.utils.evtrace import trace
             trace("exact_cert", attempt=attempt, n_ir=n,
@@ -651,9 +678,10 @@ class PersistentDeviceFactor:
                     break  # fresh factor + finite inputs: overflow —
                     # give up through the visible-warning path below
             if self.last_ratio <= tol:
-                self.rho_est = max(self._rho(n), self._RHO0)
+                self.rho_est = max(self._rho_meas(n, rho_last_u),
+                                   self._RHO0)
                 return x
-            self.rho_est = self._rho(n)
+            self.rho_est = self._rho_meas(n, rho_last_u)
             n_ir = None  # retries re-size from the measured rho
             if not refactored and (self.rho_est > 0.5 or attempt >= 3
                                    or n >= self._MAX_SWEEPS):

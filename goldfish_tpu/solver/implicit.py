@@ -560,26 +560,26 @@ def _pipelined_device_adjoint(data: SystemData, fac, cp, h, d, g,
         # the seeded kernels re-loaded ~17 s per jac at pegasus scale
         # (see ir_solve_async_dir). x0 still seeds the exact_solve
         # fallback below.
-        x, ratio_, n = fac.ir_solve_async_dir(cp, h, d, b)
+        x, ratio_, n, rho_last_ = fac.ir_solve_async_dir(cp, h, d, b)
         lam = x * data.free
         if _tr:
             # tracing mode SERIALIZES the pipe to attribute the wall:
             # solve first, then the vjp — production keeps the
             # speculative single-readback pipeline below
-            drift, ratio = (float(v) for v in
-                            jax.device_get((drift_, ratio_)))
+            drift, ratio, rho_last = (float(v) for v in
+                                      jax.device_get((drift_, ratio_,
+                                                      rho_last_)))
             trace("adjoint.solve_done", n_ir=n, ratio=ratio)
             out = vjp_fn(lam)
             jax.device_get(jnp.ravel(out[0])[0])
             trace("adjoint.vjp_done")
         else:
             out = vjp_fn(lam)  # speculative: wasted only on cert failure
-            drift, ratio = (float(v) for v in
-                            jax.device_get((drift_, ratio_)))
+            drift, ratio, rho_last = (float(v) for v in
+                                      jax.device_get((drift_, ratio_,
+                                                      rho_last_)))
         trace("adjoint.pipe_readback", n_ir=n, ratio=ratio, drift=drift)
-        if fac.finish_ir(n, ratio,
-                         tag="exact-x0-pipe" if x0 is not None
-                         else "exact-pipe"):
+        if fac.finish_ir(n, ratio, tag="dir-pipe", rho_last=rho_last):
             if lam_ws is not None:
                 lam_ws.update(key, lam)
             trace("adjoint.exit", path="pipe")

@@ -232,6 +232,7 @@ def test_finish_ir_nonfinite_certificate_defers_policy():
     class Dummy:
         _RHO0, _MAX_SWEEPS, _N_MENU = P._RHO0, P._MAX_SWEEPS, P._N_MENU
         _rho = P._rho
+        _rho_meas = P._rho_meas
         last_ratio = 0.0
         rho_est = 1e-3
 

@@ -509,6 +509,7 @@ class PersistentDeviceFactorMI:
         as _P
     _RHO0, _MAX_SWEEPS, _N_MENU = _P._RHO0, _P._MAX_SWEEPS, _P._N_MENU
     _n_for, _rho, finish_ir = _P._n_for, _P._rho, _P.finish_ir
+    _rho_meas = _P._rho_meas
     # staticmethod re-wrap: _P._inputs_finite is the unwrapped function
     # here, and a bare assignment would rebind it as an instance method
     # (self would arrive as the first "array")

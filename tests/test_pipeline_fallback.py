@@ -76,9 +76,10 @@ def test_adjoint_pipeline_stale_factor_falls_back(mixed_mode):
     assert _rel(got, want) < 1e-8, _rel(got, want)
 
     # not vacuous: the speculated pipeline attempt must have failed its
-    # certificate before the fallback succeeded
+    # certificate before the fallback succeeded (round-5: the non-MI
+    # pipe runs on the DIRECTION kernel, tag "dir-pipe")
     new = fac.cert_log[n_cert:]
-    assert new and new[0][0] == "exact-pipe" and new[0][2] > 1e-6, new
+    assert new and new[0][0] == "dir-pipe" and new[0][2] > 1e-6, new
     assert new[-1][2] <= 1e-6, new
 
 
@@ -102,7 +103,7 @@ def test_adjoint_pipeline_warm_hit(mixed_mode):
     want = _adjoint_solve_direct(data, d0, cp, h0, g)
     assert _rel(got, want) < 1e-8, _rel(got, want)
     new = fac.cert_log[n_cert:]
-    assert len(new) == 1 and new[0][0] == "exact-pipe" \
+    assert len(new) == 1 and new[0][0] == "dir-pipe" \
         and new[0][2] <= 1e-6, new
 
 
